@@ -1,0 +1,220 @@
+"""Per-variable agreement levels + pattern assembly (the engine core).
+
+Replaces the reference's per-variable GPU passes and setdiff/intersect pattern
+merge (comparison.py:662-725) with:
+
+1. one level-edge DataFrame per variable, built from the DISTINCT values of
+   the compared column(s) (the reference's "unique" optimization,
+   comparison.py:346-498, as a distinct + join-back);
+2. a single union + groupBy-sum: since every variable emits only level>0
+   pairs, ``pattern_id = sum_k level_k * stride_k`` falls out of one shuffle —
+   missing variables contribute 0, which is exactly their level.
+
+Dedup quirk reproduced: rows sharing a value score 1.0 (level 2) regardless
+of Jaro-Winkler — the reference's unique-value diagonal short-circuit
+(deduplication.py:185-190). Linkage has no such short-circuit: equal values
+in A and B are scored with real JW (so 1-byte equal values score 0.0, the
+window quirk).
+
+Scale notes: the distinct-value cross product is the *exact* candidate
+strategy (reference parity); at corpus scale the caller passes an LSH
+candidate generator instead (operators/lsh.py) — same verify/join-back path.
+All join-backs are plain equi-joins that Catalyst turns into broadcast joins
+when the matched-value side is small (it is: values that cleared a 0.88 JW
+band are rare).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.jw import jw_batch
+from ..patterns import strides
+
+__all__ = [
+    "scored_value_pairs",
+    "fuzzy_levels_linkage",
+    "fuzzy_levels_dedup",
+    "exact_levels_linkage",
+    "exact_levels_dedup",
+    "assemble_patterns",
+    "pattern_counts",
+]
+
+
+def _jw_levels_udf(p: float, lower: float, upper: float):
+    @F.pandas_udf(T.IntegerType())
+    def jw_level(a: pd.Series, b: pd.Series) -> pd.Series:
+        s = jw_batch(a, b, p)
+        return pd.Series(((s >= lower).astype(int) + (s >= upper).astype(int)))
+
+    return jw_level
+
+
+def scored_value_pairs(
+    vals_a: DataFrame,
+    vals_b: DataFrame,
+    p: float,
+    lower: float,
+    upper: float,
+    candidates: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """(val_a, val_b, level) for level > 0, over distinct value frames.
+
+    ``candidates`` maps (vals_a, vals_b) -> DataFrame(val_a, val_b); default
+    is the full cross product of distincts (reference-exact, test scale).
+    """
+    if candidates is None:
+        cand = vals_a.crossJoin(vals_b)
+    else:
+        cand = candidates(vals_a, vals_b)
+    lvl = _jw_levels_udf(p, lower, upper)
+    return (
+        cand.withColumn("level", lvl(F.col("val_a"), F.col("val_b")))
+        .where(F.col("level") > 0)
+        .select("val_a", "val_b", "level")
+    )
+
+
+def fuzzy_levels_linkage(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col_a: str,
+    col_b: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    p: float = 0.1,
+    lower: float = 0.88,
+    upper: float = 0.94,
+    candidates=None,
+) -> DataFrame:
+    """(id_a, id_b, level) for one fuzzy variable across A x B."""
+    vals_a = df_a.select(F.col(col_a).cast("string").alias("val_a")).where(
+        F.col("val_a").isNotNull()
+    ).distinct()
+    vals_b = df_b.select(F.col(col_b).cast("string").alias("val_b")).where(
+        F.col("val_b").isNotNull()
+    ).distinct()
+    matched = scored_value_pairs(vals_a, vals_b, p, lower, upper, candidates)
+    rows_a = df_a.select(F.col(id_a), F.col(col_a).cast("string").alias("val_a"))
+    rows_b = df_b.select(F.col(id_b), F.col(col_b).cast("string").alias("val_b"))
+    return (
+        matched.join(rows_a, "val_a")
+        .join(rows_b, "val_b")
+        .select(id_a, id_b, "level")
+    )
+
+
+def fuzzy_levels_dedup(
+    df: DataFrame,
+    col: str,
+    id_col: str = "id",
+    p: float = 0.1,
+    lower: float = 0.88,
+    upper: float = 0.94,
+    candidates=None,
+) -> DataFrame:
+    """(id_a, id_b, level) with id_a > id_b for one fuzzy variable within df.
+
+    Equal-value row pairs take the diagonal short-circuit (level 2);
+    distinct-value pairs are scored with JW over the strict value pairs.
+    """
+    vals = df.select(F.col(col).cast("string").alias("val_a")).where(
+        F.col("val_a").isNotNull()
+    ).distinct()
+    # different-value candidates: unordered value pairs (val_a < val_b),
+    # each scored exactly once (JW is symmetric)
+    vals_b = vals.select(F.col("val_a").alias("val_b"))
+    if candidates is None:
+        cand = vals.crossJoin(vals_b).where(F.col("val_a") < F.col("val_b"))
+    else:
+        cand = candidates(vals, vals_b).where(F.col("val_a") < F.col("val_b"))
+    matched = scored_value_pairs(vals, vals_b, p, lower, upper, lambda *_: cand)
+
+    rows = df.select(F.col(id_col), F.col(col).cast("string").alias("val"))
+    ra = rows.select(F.col(id_col).alias("ida"), F.col("val").alias("val_a"))
+    rb = rows.select(F.col(id_col).alias("idb"), F.col("val").alias("val_b"))
+
+    # canonicalize each row pair as (max, min) like the reference
+    # (deduplication.py:301-310)
+    diff_val = (
+        matched.join(ra, "val_a")
+        .join(rb, "val_b")
+        .select(
+            F.greatest("ida", "idb").alias("id_a"),
+            F.least("ida", "idb").alias("id_b"),
+            "level",
+        )
+    )
+    # same-value pairs: diagonal short-circuit, level 2
+    same_val = (
+        ra.join(rb, F.col("val_a") == F.col("val_b"))
+        .where(F.col("ida") > F.col("idb"))
+        .select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"), F.lit(2).alias("level"))
+    )
+    return diff_val.unionByName(same_val)
+
+
+def exact_levels_linkage(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col_a: str,
+    col_b: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id_a, id_b, 1) for equal (non-null) values — a plain hash equi-join
+    (reference #8, comparison.py:500-600)."""
+    a = df_a.select(F.col(id_a), F.col(col_a).cast("string").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    b = df_b.select(F.col(id_b), F.col(col_b).cast("string").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    return a.join(b, "v").select(id_a, id_b, F.lit(1).alias("level"))
+
+
+def exact_levels_dedup(df: DataFrame, col: str, id_col: str = "id") -> DataFrame:
+    """(id_a, id_b, 1) for equal values within df, id_a > id_b (reference
+    #12, deduplication.py:628-701)."""
+    rows = df.select(F.col(id_col), F.col(col).cast("string").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    a = rows.select(F.col(id_col).alias("id_a"), "v")
+    b = rows.select(F.col(id_col).alias("id_b"), "v")
+    return (
+        a.join(b, "v")
+        .where(F.col("id_a") > F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1).alias("level"))
+    )
+
+
+def assemble_patterns(level_frames: list[DataFrame], k_fuzzy: int, k_exact: int) -> DataFrame:
+    """Combine per-variable level frames into (id_a, id_b, pattern_id).
+
+    ``level_frames`` is ordered fuzzy-first (Gamma column order). One union +
+    one groupBy — a single shuffle regardless of K, replacing the reference's
+    iterated setdiff/intersect kernels (comparison.py:695-725).
+    Pairs at the all-zero pattern never appear (they are the complement row).
+    """
+    st = strides(k_fuzzy, k_exact)
+    if len(level_frames) != len(st):
+        raise ValueError("level frame count != k_fuzzy + k_exact")
+    contribs = [
+        f.select("id_a", "id_b", (F.col("level") * F.lit(s)).alias("contrib"))
+        for f, s in zip(level_frames, st)
+    ]
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    return allc.groupBy("id_a", "id_b").agg(F.sum("contrib").cast("long").alias("pattern_id"))
+
+
+def pattern_counts(patterns: DataFrame) -> DataFrame:
+    """(pattern_id, cnt) — the observed half of the reference's Counts."""
+    return patterns.groupBy("pattern_id").agg(F.count(F.lit(1)).alias("cnt"))

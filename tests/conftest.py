@@ -1,0 +1,16 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from fast_er_spark.session import get_spark
+
+    s = get_spark("fast-er-spark-tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")),
+                  shuffle_partitions=8)
+    yield s
+    s.stop()
