@@ -1,0 +1,104 @@
+"""Connected components over a pair-edge DataFrame.
+
+Alternating large-star / small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond") — the web-scale algorithm: converges in O(log^2 n)
+rounds, every round is two groupBy/join shuffles on the node key, no driver
+state, no collect. Used to turn verified dup-pair edges into cluster
+assignments (reference analogue: the implicit transitive closure a user gets
+by post-processing Fast-ER pair lists).
+
+Each iteration localCheckpoints the edge set to truncate lineage (at real
+scale this is a persisted checkpoint table, see pipeline.py).
+
+large_star: for each node u, attach every strictly-larger neighbor to
+m = min(N(u) ∪ {u}).
+small_star: canonicalize edges (u > v), attach every smaller-or-equal
+neighbor (and u itself) to the minimum.
+Fixpoint: edge set stable => edges form stars (node -> component min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components"]
+
+
+def _bidir(e: DataFrame) -> DataFrame:
+    return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    bidir = _bidir(e)
+    mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        bidir.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    ee = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    mins = ee.groupBy("u").agg(F.min("v").alias("m"))  # all v < u here
+    moved = ee.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    self_edge = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        moved.unionByName(self_edge).where(F.col("u") != F.col("v")).distinct()
+    )
+
+
+def _checksum(e: DataFrame) -> tuple[int, int]:
+    row = e.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.coalesce(F.sum(F.xxhash64("u", "v") % F.lit(2_000_003)), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["cnt"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(id, component) with component = min node id in the component.
+
+    ``nodes`` (optional) adds isolated nodes (their own singleton component).
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
+        F.col("u") != F.col("v")
+    )
+    e = e.localCheckpoint(eager=True)
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+    # fixpoint edges are (member, root); roots need their own row
+    assign = e.select(F.col("u").alias(id_col), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias(id_col)).distinct().withColumn(
+        "component", F.col(id_col)
+    )
+    out = assign.unionByName(roots).dropDuplicates([id_col])
+    if nodes is not None:
+        allnodes = nodes.select(F.col(id_col))
+        isolated = allnodes.join(out.select(id_col), id_col, "left_anti").withColumn(
+            "component", F.col(id_col)
+        )
+        out = out.unionByName(isolated)
+    return out

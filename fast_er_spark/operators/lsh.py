@@ -1,0 +1,126 @@
+"""MinHash-LSH candidate generation with explicit shuffle/skew control.
+
+The scale replacement for the reference's all-pairs GPU loop
+(comparison.py:133-186): instead of scoring |A|x|B| pairs, documents are
+shingled, MinHash-signed (vectorized pandas_udf, functions/minhash.py), and
+banded — two docs become a candidate pair iff some band of their signatures
+collides. Banding, bucketing and the within-bucket self-join are plain
+DataFrame ops (NOT pyspark.ml MinHashLSH) so partitioning and skew handling
+stay explicit, per BASELINE.json north_rule:
+
+- band hashes are computed JVM-side (xxhash64 over a signature slice) — the
+  only Python is the Arrow-batched signature UDF;
+- the self-join shuffles on (band, band_hash): an explicit repartition keyed
+  by bucket, sized by ``shuffle partitions``;
+- hot buckets (Zipf-skewed duplicate clusters) are capped: buckets larger
+  than ``max_bucket_size`` emit a star (every member -> bucket min) instead
+  of the quadratic clique. A star keeps cluster connectivity intact (the
+  connected-components stage reattaches everything) while bounding pair
+  fan-out to O(bucket), which is the salting-equivalent guard AQE cannot do
+  for a logical key.
+
+Tuning: collision probability for Jaccard j is 1 - (1 - j^r)^b with b bands
+of r rows. Defaults (b=32, r=4, 128 perms) give P(candidate) > 0.9999 at
+j = 0.8 and ~0.03 at j = 0.3.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.minhash import minhash_batch
+
+__all__ = ["with_minhash_signature", "band_buckets", "lsh_candidate_pairs"]
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    num_perm: int = 128,
+    n: int = 3,
+    mode: str = "word",
+    seed: int = 42,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Add an ArrayType(LongType) MinHash signature column (Arrow-vectorized
+    pandas_udf; one numpy broadcast per row)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        return minhash_batch(texts, num_perm=num_perm, n=n, mode=mode, seed=seed)
+
+    return df.withColumn(out_col, sig(F.col(text_col)))
+
+
+def band_buckets(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str = "minhash",
+    bands: int = 32,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) — one row per (doc, band); bucket = xxhash64 of the
+    signature slice, computed JVM-side (no UDF)."""
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band))
+            for b in range(bands)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(band_hashes).alias("band", "bucket")
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 128,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    n: int = 3,
+    mode: str = "word",
+    seed: int = 42,
+    max_bucket_size: int = 2000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a > id_b), deduplicated across
+    bands. Rows with empty text are excluded (nothing to match)."""
+    if bands * rows_per_band > num_perm:
+        raise ValueError("bands * rows_per_band must be <= num_perm")
+
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")).where(
+        F.col("__text").isNotNull() & (F.length(F.trim(F.col("__text"))) > 0)
+    )
+    signed = with_minhash_signature(base, "__text", num_perm, n, mode, seed)
+    ex = band_buckets(signed, "id", "minhash", bands, rows_per_band)
+    if num_partitions:
+        ex = ex.repartition(num_partitions, "band", "bucket")
+
+    sizes = ex.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bsz"), F.min("id").alias("bmin")
+    )
+    ex = ex.join(sizes, ["band", "bucket"])
+
+    normal = ex.where((F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket_size))
+    a = normal.select("band", "bucket", F.col("id").alias("id_a"))
+    b = normal.select("band", "bucket", F.col("id").alias("id_b"))
+    clique_pairs = a.join(b, ["band", "bucket"]).where(F.col("id_a") > F.col("id_b"))
+
+    # hot buckets: star to the bucket min — bounded fan-out, connectivity kept
+    star_pairs = (
+        ex.where((F.col("bsz") > max_bucket_size) & (F.col("id") != F.col("bmin")))
+        .select(F.col("id").alias("id_a"), F.col("bmin").alias("id_b"))
+    )
+
+    return (
+        clique_pairs.select("id_a", "id_b")
+        .unionByName(star_pairs)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,114 @@
+"""Candidate-pair verification — exact similarity on LSH candidates only.
+
+After LSH proposes candidates, each pair is verified with the EXACT measure
+(n-gram Jaccard, or Jaro-Winkler for short linkage fields). Shingle-Jaccard
+verification runs entirely JVM-side: shingle arrays are built with
+F.transform over a token sequence and compared with
+array_intersect/array_union — no Python in the verify hot path at all.
+
+This mirrors the sketch-then-verify contract of BASELINE.json north_rule:
+LSH fixes RECALL (tuned bands), verification fixes PRECISION (exact measure),
+so verified pairs equal the brute-force oracle's pairs wherever LSH recall
+holds.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.jw import jw_batch
+
+__all__ = ["shingle_array", "jaccard_columns", "verify_pairs_jaccard", "verify_pairs_jw"]
+
+
+def shingle_array(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (pure JVM).
+
+    Matches functions.shingles.shingles(mode='word'): short docs yield one
+    whole-doc shingle; blank docs yield an empty array.
+    """
+    toks = F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+    nt = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), nt - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(
+        F.when(nt == 0, F.array().cast("array<string>"))
+        .when(nt < n, F.array(F.concat_ws(" ", toks)))
+        .otherwise(grams)
+    )
+
+
+def jaccard_columns(sh_a: Column, sh_b: Column) -> tuple[Column, Column]:
+    """(intersection_size, union_size) of two shingle arrays."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return inter, union
+
+
+def verify_pairs_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Keep candidate pairs with exact shingle-Jaccard >= threshold.
+
+    Returns (id_a, id_b, inter_size, union_size, jaccard). The threshold test
+    uses integer arithmetic (inter * 10^6 >= thr * 10^6 * union) so it is
+    float-representation independent.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), shingle_array(F.col(text_col), n).alias("sh")
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter, union = jaccard_columns(F.col("sh_a"), F.col("sh_b"))
+    thr_num = int(round(threshold * 1_000_000))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter_size", inter.cast("long"))
+        .withColumn("union_size", union.cast("long"))
+        .where(
+            (F.col("union_size") > 0)
+            & (F.col("inter_size") * 1_000_000 >= F.lit(thr_num) * F.col("union_size"))
+        )
+        .withColumn(
+            "jaccard", F.round(F.col("inter_size") / F.col("union_size"), 6)
+        )
+        .select("id_a", "id_b", "inter_size", "union_size", "jaccard")
+    )
+
+
+def verify_pairs_jw(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    p: float = 0.1,
+    threshold: float = 0.88,
+) -> DataFrame:
+    """Keep candidate pairs with reference-semantics Jaro-Winkler >=
+    threshold (Arrow-batched pandas_udf — the short-string linkage path)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return jw_batch(a, b, p)
+
+    t = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    a = t.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"))
+    b = t.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jw", jw(F.col("t_a"), F.col("t_b")))
+        .where(F.col("jw") >= F.lit(threshold))
+        .select("id_a", "id_b", "jw")
+    )

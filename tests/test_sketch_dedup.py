@@ -1,0 +1,111 @@
+"""Sketch path: MinHash-LSH candidates + exact verification + connected
+components, validated against the brute-force oracle on the planted-dup
+corpus (FIXTURES.md F1). This is the BASELINE.json recall >= 0.99 gate."""
+
+import random
+
+import pytest
+
+from fixtures.synth import pages
+from oracle.reference import connected_components as cc_oracle
+from oracle.reference import jaccard_dup_pairs, shingle_set
+
+
+N_GRAM = 3
+THRESHOLD = 0.8
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows, truth_pairs, truth_clusters = pages(n=400, seed=42)
+    df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    ).cache()
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    return df, texts
+
+
+def test_shingle_array_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.operators.verify import shingle_array
+
+    samples = [
+        "a b c d e",
+        "one two",
+        "single",
+        "",
+        "   ",
+        "x y z",
+        "tok " * 30,
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i long, t string")
+    got = {
+        r["i"]: set(r["sh"])
+        for r in df.select("i", shingle_array(F.col("t"), N_GRAM).alias("sh")).collect()
+    }
+    for i, s in enumerate(samples):
+        assert got[i] == shingle_set(s, N_GRAM, "word"), (i, s)
+
+
+def test_lsh_verified_pairs_recall(spark, corpus):
+    from fast_er_spark.operators.lsh import lsh_candidate_pairs
+    from fast_er_spark.operators.verify import verify_pairs_jaccard
+
+    df, texts = corpus
+    cand = lsh_candidate_pairs(df, "doc_id", "text", num_perm=128, bands=32,
+                               rows_per_band=4, n=N_GRAM, seed=42)
+    verified = verify_pairs_jaccard(cand, df, "doc_id", "text", n=N_GRAM,
+                                    threshold=THRESHOLD)
+    got = {(int(r.id_a), int(r.id_b)) for r in verified.collect()}
+
+    want = jaccard_dup_pairs(texts, n=N_GRAM, mode="word", threshold=THRESHOLD)
+    assert want, "fixture planted no dup pairs — broken fixture"
+    # precision is exact by construction: verification IS the oracle measure
+    assert got <= want, f"false positives: {sorted(got - want)[:5]}"
+    recall = len(got & want) / len(want)
+    assert recall >= 0.99, f"recall {recall:.4f} < 0.99 ({len(want) - len(got)} missed)"
+
+
+def test_connected_components_vs_union_find(spark):
+    from fast_er_spark.operators.components import connected_components
+
+    rng = random.Random(5)
+    # adversarial: long chain + random clusters + isolated nodes
+    edges = [(i + 1, i) for i in range(30)]  # chain 0..30
+    for _ in range(120):
+        a, b = rng.randrange(100, 200), rng.randrange(100, 200)
+        if a != b:
+            edges.append((max(a, b), min(a, b)))
+    nodes = list(range(0, 220))
+    e_df = spark.createDataFrame(edges, "id_a long, id_b long")
+    n_df = spark.createDataFrame([(n,) for n in nodes], "id long")
+    got = {
+        (int(r.id), int(r.component))
+        for r in connected_components(e_df, nodes=n_df).collect()
+    }
+    want_map = cc_oracle(nodes, edges)
+    want = {(n, c) for n, c in want_map.items()}
+    assert got == want
+
+
+def test_cluster_assignments_match_oracle(spark, corpus):
+    from fast_er_spark.operators.components import connected_components
+    from fast_er_spark.operators.lsh import lsh_candidate_pairs
+    from fast_er_spark.operators.verify import verify_pairs_jaccard
+
+    df, texts = corpus
+    cand = lsh_candidate_pairs(df, "doc_id", "text", num_perm=128, bands=32,
+                               rows_per_band=4, n=N_GRAM, seed=42)
+    verified = verify_pairs_jaccard(cand, df, "doc_id", "text", n=N_GRAM,
+                                    threshold=THRESHOLD)
+    clusters = connected_components(
+        verified, nodes=df.selectExpr("doc_id as id"), max_iter=30
+    )
+    got = {int(r.id): int(r.component) for r in clusters.collect()}
+
+    want_pairs = jaccard_dup_pairs(texts, n=N_GRAM, mode="word", threshold=THRESHOLD)
+    want = cc_oracle(sorted(texts), [(a, b) for a, b in want_pairs])
+    # compare cluster PARTITIONS on the docs the engine saw
+    agree = sum(1 for k in want if got.get(k) == want[k])
+    assert agree / len(want) >= 0.99
