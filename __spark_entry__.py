@@ -103,26 +103,16 @@ def q_exact_dedup_pairs(spark, sf_dir):
 
 
 def q_substring_anchor_pairs(spark, sf_dir):
-    """Long-shared-substring candidates via sampled 32-char anchors at
-    stride 16 (the scalable stand-in for a suffix-array pass)."""
-    docs = _t(spark, sf_dir, "documents")
-    positions = F.sequence(
-        F.lit(1), F.greatest(F.length("text") - F.lit(31), F.lit(1)), F.lit(16)
-    )
-    anchors = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode_outer(
-            F.array_distinct(F.transform(positions, lambda p: F.substring(F.col("text"), p, 32)))
-        ).alias("anchor"),
-    ).where(F.length("anchor") == 32)
-    a = anchors.select(F.col("id").alias("id_a"), "anchor")
-    b = anchors.select(F.col("id").alias("id_b"), "anchor")
-    return (
-        a.join(b, "anchor")
-        .where(F.col("id_a") > F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    """Long-shared-substring candidates via content-defined 32-char anchors
+    (token-initial a..e selector — alignment-invariant AND SQL-twinnable;
+    the pipeline's default selector is xxhash64 winnowing)."""
+    from fast_er_spark.operators.substring import anchor_pairs
+
+    docs = _t(spark, sf_dir, "documents").selectExpr("doc_id as id", "text")
+    return anchor_pairs(
+        docs, "id", "text", anchor_len=32, selector="token_initial",
+        max_anchor_freq=10_000_000,
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
 
 
 # --------------------------------------------------- Fellegi-Sunter family
@@ -396,6 +386,34 @@ def q_simhash_bands(spark, sf_dir):
     return docs.select(F.col("doc_id").cast("long"), sh(F.col("text")).alias("simhash"))
 
 
+def q_embedding_lsh_topk(spark, sf_dir):
+    """Approximate ANN: SRP-bucketed candidates + exact cosine re-rank
+    (rows-only: hyperplane family is engine-defined)."""
+    from fast_er_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.where(F.col("vec_id") < 20)
+    return lsh_topk(q, emb, dim=dim, k=5, n_planes=8, n_tables=8).select(
+        F.col("qid").cast("long"), F.col("vid").cast("long"), F.col("rank").cast("int")
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary media column -> mapInPandas feature
+    extraction (decode deterministically stubbed; rows-only)."""
+    from fast_er_spark.operators.multimodal import attach_fake_media, media_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = attach_fake_media(docs, "doc_id")
+    return media_features(media, "doc_id", decode="fake").select(
+        F.col("id").cast("long"), "mime",
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -420,6 +438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nations_except": q_nations_except,
         "orders_running_sum": q_orders_running_sum,
         "simhash_bands": q_simhash_bands,
+        "embedding_lsh_topk": q_embedding_lsh_topk,
+        "media_features": q_media_features,
     }
 
 
@@ -480,12 +500,14 @@ FROM documents a JOIN documents b
 """
     sqls["substring_anchor_pairs"] = """
 WITH pos AS (
-  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 31, 1) + 1, 16)) AS p
+  SELECT doc_id, text, unnest(range(1, greatest(length(text) - 31, 1) + 1)) AS p
   FROM documents
 ),
 anc AS (
   SELECT DISTINCT doc_id, substr(text, p, 32) AS anchor FROM pos
-  WHERE length(substr(text, p, 32)) = 32
+  WHERE (p = 1 OR substr(text, p - 1, 1) = ' ')
+    AND substr(text, p, 1) BETWEEN 'a' AND 'e'
+    AND length(substr(text, p, 32)) = 32
 )
 SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b
 FROM anc a JOIN anc b ON a.anchor = b.anchor AND a.doc_id > b.doc_id

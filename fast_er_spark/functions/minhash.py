@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .shingles import hash_shingles, shingles
+from .shingles import hash_shingles_batch
 
 __all__ = ["minhash_params", "minhash_signature", "minhash_batch", "jaccard_estimate"]
 
@@ -52,13 +52,15 @@ def minhash_batch(
     mode: str = "word",
     seed: int = 42,
 ) -> pd.Series:
-    """pandas_udf body: Series[str] -> Series[list[int]] signatures."""
+    """pandas_udf body: Series[str] -> Series[list[int]] signatures.
+
+    Shingle hashing is batch-vectorized (hash_shingles_batch): one blake2b
+    per distinct token per batch, numpy sliding-window combine — no
+    per-shingle Python.
+    """
     a, b = minhash_params(num_perm, seed)
     out = []
-    for idx, t in enumerate(texts):
-        base = (
-            hash_shingles(shingles(str(t), n, mode), seed) if t is not None else np.empty(0, np.uint64)
-        )
+    for idx, base in enumerate(hash_shingles_batch(texts, n, mode, seed)):
         if base.size == 0:
             # unique sentinel per empty row: collides with nothing
             sent = np.uint64(0xDEAD0000_00000000) + np.uint64(idx)

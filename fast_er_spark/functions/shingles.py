@@ -53,3 +53,76 @@ def hash_shingles(sh: list[str], seed: int = 0) -> np.ndarray:
     return np.fromiter(
         {hash64(s, seed) for s in sh}, dtype=np.uint64
     )
+
+
+# --- vectorized batch shingle hashing (the hot path) -----------------------
+#
+# Hashing every shingle string individually (blake2b per n-gram) costs
+# O(total_chars) Python per doc. Instead: hash each DISTINCT TOKEN once per
+# Arrow batch (token vocabulary is tiny relative to shingle count), then
+# combine token hashes into shingle hashes with numpy sliding windows:
+#   h(shingle t_i..t_{i+n-1}) = sum_k M_k * h(t_{i+k})  (mod 2^64, odd M_k)
+# Equal shingles get equal hashes; distinct ones collide w.p. ~2^-64.
+
+_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0x2545F4914F6CDD1D,
+     0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53],
+    dtype=np.uint64,
+) | np.uint64(1)
+
+
+def _combine_windows(h: np.ndarray, n: int) -> np.ndarray:
+    """Sliding-window polynomial combine of per-unit hashes (uint64 wrap)."""
+    m = h.shape[0]
+    if m == 0:
+        return np.empty(0, dtype=np.uint64)
+    n_eff = min(n, m)
+    win = np.lib.stride_tricks.sliding_window_view(h, n_eff)
+    with np.errstate(over="ignore"):
+        out = (win * _MIX[:n_eff]).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def hash_shingles_batch(
+    texts, n: int = 3, mode: str = "word", seed: int = 0
+) -> list[np.ndarray]:
+    """Per-row DISTINCT shingle hashes for an Arrow batch of texts.
+
+    Semantics mirror shingles(): short non-empty inputs produce one
+    whole-input shingle; empty/None inputs produce an empty array.
+    NOTE: char mode windows over UTF-8 BYTES (not codepoints) — identical for
+    ASCII; for multibyte text the shingle family differs from shingles()
+    strings but stays a valid (deterministic, exact-identity) shingling.
+    """
+    out: list[np.ndarray] = []
+    if mode == "word":
+        vocab: dict[str, int] = {}
+
+        def tok_hashes(t: str) -> np.ndarray:
+            toks = t.split()
+            hs = np.empty(len(toks), dtype=np.uint64)
+            for i, tk in enumerate(toks):
+                v = vocab.get(tk)
+                if v is None:
+                    v = hash64(tk, seed)
+                    vocab[tk] = v
+                hs[i] = v
+            return hs
+
+        for t in texts:
+            if t is None:
+                out.append(np.empty(0, dtype=np.uint64))
+                continue
+            h = tok_hashes(str(t))
+            out.append(np.unique(_combine_windows(h, n)))
+    else:  # char mode: per-byte hashes via a seeded substitution table
+        rng = np.random.default_rng(seed ^ 0xC0FFEE)
+        table = rng.integers(0, 1 << 63, size=256, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+        for t in texts:
+            if t is None:
+                out.append(np.empty(0, dtype=np.uint64))
+                continue
+            b = np.frombuffer(str(t).encode("utf-8"), dtype=np.uint8)
+            out.append(np.unique(_combine_windows(table[b], n)))
+    return out

@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .shingles import hash_shingles, shingles
+from .shingles import hash_shingles_batch
 
 __all__ = ["simhash", "simhash_batch", "hamming64", "simhash_bands"]
 
@@ -44,10 +44,7 @@ def simhash_batch(
     texts: pd.Series, n: int = 3, mode: str = "word", seed: int = 42
 ) -> pd.Series:
     out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if t is None:
-            continue
-        base = hash_shingles(shingles(str(t), n, mode), seed)
+    for i, base in enumerate(hash_shingles_batch(texts, n, mode, seed)):
         out[i] = simhash(base)
     return pd.Series(out)
 

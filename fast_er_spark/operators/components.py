@@ -70,15 +70,35 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 30,
+    rows_per_partition: int = 500_000,
 ) -> DataFrame:
     """(id, component) with component = min node id in the component.
 
     ``nodes`` (optional) adds isolated nodes (their own singleton component).
+
+    Partitioning is sized to the EDGE COUNT, not the session default: dup
+    edge sets are usually tiny relative to the corpus, and iterating a small
+    edge list across hundreds of shuffle partitions is pure scheduling
+    overhead (measured: local[32] slower than local[8] before this).
+    Each iteration runs at ~rows_per_partition edges/partition, capped by the
+    session's shuffle parallelism.
     """
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).where(
         F.col("u") != F.col("v")
     )
     e = e.localCheckpoint(eager=True)
+    n_edges = e.count()
+    spark = e.sparkSession
+    session_parallelism = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_part = max(1, min(session_parallelism, (n_edges // rows_per_partition) + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    try:
+        return _cc_iterate(e, nodes, id_col, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_parallelism))
+
+
+def _cc_iterate(e: DataFrame, nodes, id_col: str, max_iter: int) -> DataFrame:
     prev = None
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)

@@ -26,12 +26,11 @@ j = 0.8 and ~0.03 at j = 0.3.
 
 from __future__ import annotations
 
-import functools
-
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from ..functions.minhash import minhash_batch
 
@@ -103,24 +102,40 @@ def lsh_candidate_pairs(
     if num_partitions:
         ex = ex.repartition(num_partitions, "band", "bucket")
 
-    sizes = ex.groupBy("band", "bucket").agg(
-        F.count(F.lit(1)).alias("bsz"), F.min("id").alias("bmin")
-    )
-    ex = ex.join(sizes, ["band", "bucket"])
-
-    normal = ex.where((F.col("bsz") >= 2) & (F.col("bsz") <= max_bucket_size))
-    a = normal.select("band", "bucket", F.col("id").alias("id_a"))
-    b = normal.select("band", "bucket", F.col("id").alias("id_b"))
-    clique_pairs = a.join(b, ["band", "bucket"]).where(F.col("id_a") > F.col("id_b"))
-
-    # hot buckets: star to the bucket min — bounded fan-out, connectivity kept
-    star_pairs = (
-        ex.where((F.col("bsz") > max_bucket_size) & (F.col("id") != F.col("bmin")))
-        .select(F.col("id").alias("id_a"), F.col("bmin").alias("id_b"))
+    # ONE hash aggregation gathers each bucket's members — no sort-based
+    # window, no self-join — and ONE projection emits the pairs, so the
+    # whole candidate generation is a single pass over the banded frame
+    # (sig UDF -> explode -> groupBy -> explode). Branching clique/star into
+    # two DataFrame consumers would recompute that upstream per branch
+    # (measured 2x wall); instead the clique-vs-star choice is a CASE inside
+    # the pair-array expression.
+    buckets = (
+        ex.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
 
-    return (
-        clique_pairs.select("id_a", "id_b")
-        .unionByName(star_pairs)
-        .dropDuplicates(["id_a", "id_b"])
+    ids = F.col("ids")
+    # full clique for normal buckets (ids ascending: (ids[j>i], ids[i]) has
+    # id_a > id_b); star to the bucket min for hot buckets — the
+    # salting-equivalent skew guard: bounded fan-out, connectivity kept
+    clique_array = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(y.alias("id_a"), x.alias("id_b")),
+            ),
+        )
     )
+    star_array = F.transform(
+        F.slice(ids, 2, 2_147_483_647),
+        lambda y: F.struct(y.alias("id_a"), F.element_at(ids, 1).alias("id_b")),
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.when(F.size(ids) <= max_bucket_size, clique_array).otherwise(star_array)
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+
+    return pairs.dropDuplicates(["id_a", "id_b"])

@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths per the build brief:
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products/norms are JVM-side (zip_with + aggregate inside whole-stage
+  codegen); ranking via window row_number. O(|Q| x |C|) — fine for small Q
+  or as the per-bucket verifier.
+- ``lsh_topk``: the scale path — random-hyperplane (SRP) bucketing: sign-bit
+  sketches of each vector against ``n_planes`` seeded hyperplanes give a
+  bucket key; candidates come only from colliding buckets (multi-probe via
+  several independent tables), then exact cosine re-ranks. Recall is tunable
+  with (tables, planes); candidates shrink by ~2^planes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+__all__ = ["cosine_topk", "srp_sketch", "lsh_topk"]
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """(qid, vid, cos, rank): exact top-k by cosine for every query vector."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    scored = q.join(c, F.col("qid") != F.col("vid")).select(
+        "qid",
+        "vid",
+        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def srp_sketch(dim: int, n_planes: int = 16, table: int = 0, seed: int = 42):
+    """Signed-random-projection sketch UDF: vector -> long bucket key."""
+    rng = np.random.default_rng(seed + 1000 * table)
+    planes = rng.standard_normal((n_planes, dim))
+
+    @F.pandas_udf(T.LongType())
+    def sketch(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes.T) > 0  # (batch, n_planes)
+        out = np.zeros(len(vecs), dtype=np.int64)
+        for j in range(n_planes):
+            out |= bits[:, j].astype(np.int64) << j
+        return pd.Series(out)
+
+    return sketch
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: SRP-bucketed candidates, exact cosine re-rank.
+
+    Union over ``n_tables`` independent hyperplane tables; a query's
+    candidates are corpus vectors sharing its bucket in ANY table.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    cand = None
+    for t in range(n_tables):
+        sk = srp_sketch(dim, n_planes, table=t, seed=seed)
+        qb = q.withColumn("bucket", sk(F.col("qv"))).withColumn("tbl", F.lit(t))
+        cb = c.withColumn("bucket", sk(F.col("cv"))).withColumn("tbl", F.lit(t))
+        pairs = qb.join(cb, ["tbl", "bucket"]).where(F.col("qid") != F.col("vid")).select(
+            "qid", "vid"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["qid", "vid"])
+    scored = (
+        cand.join(q, "qid")
+        .join(c, "vid")
+        .select(
+            "qid",
+            "vid",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,112 @@
+"""Long-shared-substring pass via content-defined anchors (the scalable
+stand-in for a distributed suffix array, SURVEY.md §7 step 5).
+
+Anchor selection is CONTENT-DEFINED (winnowing-style): every position's
+``anchor_len``-char substring is hashed (JVM xxhash64) and a position is an
+anchor iff ``hash % density == 0``. Selection depends only on the bytes, so a
+verbatim span copied between documents selects the SAME anchor positions in
+both — alignment-invariant, unlike fixed-stride sampling (a copied span at an
+arbitrary offset would never line up with the other doc's stride grid).
+
+Expected anchor rate is 1/density per position; a shared span of s chars is
+missed with probability (1 - 1/density)^(s - anchor_len + 1) — at the default
+(32, 8) a 150-char copied span is missed with p < 2e-7.
+
+Docs sharing an anchor become containment-edge candidates via one equi-join.
+All JVM-side (sequence/transform/filter/xxhash64); no Python. This catches
+the duplication mode MinHash misses: a long verbatim block embedded in
+otherwise-different pages (whole-doc Jaccard low).
+
+Scale note: the per-row transient array is ~8 bytes x doc length (one hash
+per position). For multi-MB pages move the rolling hash into mapInPandas;
+for web-page text columns this JVM form wins (stays in codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["doc_anchors", "anchor_pairs"]
+
+
+def doc_anchors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    anchor_len: int = 32,
+    density: int = 8,
+    selector: str = "hash",
+) -> DataFrame:
+    """(id, anchor) — distinct content-selected fixed-width substrings.
+
+    ``selector='hash'``: winnowing selection, position kept iff
+    xxhash64(anchor) % density == 0 (pipeline default).
+    ``selector='token_initial'``: position kept iff it starts a whitespace
+    token whose first letter is in a..e — equally content-defined
+    (alignment-invariant) and expressible in ANSI SQL, used by the
+    DuckDB-oracled driver query.
+    """
+    text = F.col(text_col)
+    positions = F.sequence(F.lit(1), F.greatest(F.length(text) - F.lit(anchor_len - 1), F.lit(1)))
+    if selector == "hash":
+        hashed = F.transform(
+            positions,
+            lambda p: F.struct(
+                p.alias("p"), F.xxhash64(F.substring(text, p, anchor_len)).alias("h")
+            ),
+        )
+        selected = F.transform(
+            F.filter(hashed, lambda s: F.pmod(s["h"], F.lit(density)) == 0),
+            lambda s: s["p"],
+        )
+    elif selector == "token_initial":
+        selected = F.filter(
+            positions,
+            lambda p: ((p == 1) | (F.substring(text, p - 1, 1) == " "))
+            & F.substring(text, p, 1).between("a", "e"),
+        )
+    else:
+        raise ValueError("selector must be 'hash' or 'token_initial'")
+    anchors = F.array_distinct(
+        F.transform(selected, lambda p: F.substring(text, p, anchor_len))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode_outer(anchors).alias("anchor"))
+        .where(F.length("anchor") == anchor_len)
+    )
+
+
+def anchor_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    anchor_len: int = 32,
+    density: int = 8,
+    max_anchor_freq: int = 1000,
+    selector: str = "hash",
+) -> DataFrame:
+    """(id_a, id_b) candidate containment pairs, id_a > id_b.
+
+    ``max_anchor_freq`` drops degenerate anchors shared by more than that
+    many docs into a star to the min holder (boilerplate guard — same skew
+    rationale as LSH hot buckets: bounded fan-out, connectivity kept).
+    """
+    anchors = doc_anchors(df, id_col, text_col, anchor_len, density, selector)
+    # frequency + min holder in one shuffle (window over the anchor key)
+    w = Window.partitionBy("anchor")
+    anchors = anchors.withColumn("afreq", F.count(F.lit(1)).over(w)).withColumn(
+        "amin", F.min("id").over(w)
+    )
+
+    normal = anchors.where(F.col("afreq") <= max_anchor_freq)
+    a = normal.select("anchor", F.col("id").alias("id_a"))
+    b = normal.select("anchor", F.col("id").alias("id_b"))
+    clique = a.join(b, "anchor").where(F.col("id_a") > F.col("id_b"))
+
+    star = (
+        anchors.where((F.col("afreq") > max_anchor_freq) & (F.col("id") != F.col("amin")))
+        .select(F.col("id").alias("id_a"), F.col("amin").alias("id_b"))
+    )
+    return clique.select("id_a", "id_b").unionByName(star).dropDuplicates(["id_a", "id_b"])

@@ -1,0 +1,195 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+The north_rule pipeline: extract -> shingle/MinHash -> LSH candidates ->
+exact verify -> substring anchor pass -> edges -> connected components, with
+every stage CHECKPOINTED to a stage table (Iceberg when configured, parquet
+otherwise), per-stage + per-partition lineage/metrics tables, and mid-run
+RESUME: a stage whose output exists under the same config fingerprint is read
+back instead of recomputed.
+
+Scale design notes (10^12-doc targets):
+- every stage is a pure DataFrame transform; stage boundaries are exactly the
+  shuffle boundaries (LSH bucket join, pair dedup, CC iterations), so
+  checkpointing doubles as shuffle-failure containment;
+- candidates/verify are per-bucket local; the only global structures are the
+  edge list (O(dups)) and the component labels (O(docs));
+- hot buckets are star-capped in lsh.py; AQE skew-join covers the verify
+  joins; CC is large-star/small-star (O(log^2) rounds).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from dataclasses import asdict, dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import StageCatalog
+from .functions.extract import extract_text_udf
+from .operators.components import connected_components
+from .operators.lsh import lsh_candidate_pairs
+from .operators.substring import anchor_pairs
+from .operators.verify import verify_pairs_jaccard
+
+__all__ = ["DedupConfig", "DedupPipeline"]
+
+
+@dataclass
+class DedupConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    html_col: str | None = None  # set to extract text from html binary
+    num_perm: int = 128
+    bands: int = 32
+    rows_per_band: int = 4
+    ngram: int = 3
+    mode: str = "word"
+    threshold: float = 0.8
+    seed: int = 42
+    max_bucket_size: int = 2000
+    substring_pass: bool = True
+    anchor_len: int = 32
+    anchor_density: int = 8
+    num_partitions: int | None = None
+
+    def fingerprint(self) -> str:
+        return hashlib.sha256(json.dumps(asdict(self), sort_keys=True).encode()).hexdigest()[:16]
+
+
+@dataclass
+class StageResult:
+    name: str
+    rows: int
+    wall_ms: int
+    resumed: bool
+
+
+class DedupPipeline:
+    """Checkpointed dedup pipeline over a corpus DataFrame.
+
+    ``run()`` returns the cluster-assignment DataFrame (id, component);
+    intermediate stage tables live under ``workdir`` and are reused on
+    re-runs with the same config fingerprint (resume-from-checkpoint).
+    """
+
+    STAGES = ("input", "candidates", "verified", "substring_edges", "edges", "clusters")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        config: DedupConfig | None = None,
+        iceberg_catalog: str | None = None,
+    ):
+        self.spark = spark
+        self.config = config or DedupConfig()
+        self.catalog = StageCatalog(spark, workdir, iceberg_catalog)
+        self.fp = self.config.fingerprint()
+        self.results: list[StageResult] = []
+
+    # ----------------------------------------------------------- plumbing
+    def _stage_name(self, stage: str) -> str:
+        return f"{stage}_{self.fp}"
+
+    def _run_stage(self, stage: str, build, resume: bool) -> DataFrame:
+        name = self._stage_name(stage)
+        t0 = time.perf_counter()
+        if resume and self.catalog.exists(name):
+            df = self.catalog.read(name)
+            self.results.append(
+                StageResult(stage, df.count(), int((time.perf_counter() - t0) * 1000), True)
+            )
+            return df
+        df = build()
+        self.catalog.write(df, name)
+        out = self.catalog.read(name)
+        rows = out.count()
+        wall = int((time.perf_counter() - t0) * 1000)
+        self.results.append(StageResult(stage, rows, wall, False))
+        self._record_metrics(stage, out, rows, wall)
+        return out
+
+    def _record_metrics(self, stage: str, df: DataFrame, rows: int, wall_ms: int) -> None:
+        """Per-stage metrics + per-partition lineage (north_rule)."""
+        meta = self.spark.createDataFrame(
+            [(stage, self.fp, rows, wall_ms)],
+            "stage string, config_fp string, rows_out long, wall_ms long",
+        )
+        self.catalog.append(meta, "_metrics")
+        part = (
+            df.withColumn("part_id", F.spark_partition_id())
+            .groupBy("part_id")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("config_fp", F.lit(self.fp))
+        )
+        self.catalog.append(part, "_lineage")
+
+    def metrics(self) -> DataFrame:
+        return self.catalog.read("_metrics")
+
+    def lineage(self) -> DataFrame:
+        return self.catalog.read("_lineage")
+
+    # --------------------------------------------------------------- run
+    def run(self, corpus: DataFrame, resume: bool = True) -> DataFrame:
+        c = self.config
+
+        def build_input():
+            df = corpus
+            if c.html_col is not None:
+                df = df.withColumn(c.text_col, extract_text_udf()(F.col(c.html_col)))
+            return df.select(
+                F.col(c.id_col).cast("long").alias("id"), F.col(c.text_col).alias("text")
+            )
+
+        docs = self._run_stage("input", build_input, resume)
+
+        cand = self._run_stage(
+            "candidates",
+            lambda: lsh_candidate_pairs(
+                docs, "id", "text",
+                num_perm=c.num_perm, bands=c.bands, rows_per_band=c.rows_per_band,
+                n=c.ngram, mode=c.mode, seed=c.seed,
+                max_bucket_size=c.max_bucket_size, num_partitions=c.num_partitions,
+            ),
+            resume,
+        )
+
+        verified = self._run_stage(
+            "verified",
+            lambda: verify_pairs_jaccard(
+                cand, docs, "id", "text", n=c.ngram, threshold=c.threshold
+            ),
+            resume,
+        )
+
+        if c.substring_pass:
+            sub = self._run_stage(
+                "substring_edges",
+                lambda: anchor_pairs(
+                    docs, "id", "text", anchor_len=c.anchor_len, density=c.anchor_density
+                ),
+                resume,
+            )
+            edges = self._run_stage(
+                "edges",
+                lambda: verified.select("id_a", "id_b")
+                .unionByName(sub.select("id_a", "id_b"))
+                .dropDuplicates(["id_a", "id_b"]),
+                resume,
+            )
+        else:
+            edges = self._run_stage(
+                "edges", lambda: verified.select("id_a", "id_b"), resume
+            )
+
+        clusters = self._run_stage(
+            "clusters",
+            lambda: connected_components(edges, nodes=docs.select("id")),
+            resume,
+        )
+        return clusters

@@ -1,0 +1,206 @@
+"""Pipeline E2E: checkpointing, resume, lineage/metrics, html extraction
+invariant, substring pass, streaming dedup, similarity search, multimodal
+plumbing."""
+
+import shutil
+import tempfile
+
+import pytest
+
+from fixtures.synth import extract_text, pages, render_html
+from oracle.reference import connected_components as cc_oracle
+from oracle.reference import jaccard_dup_pairs
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows, truth_pairs, truth_clusters = pages(n=300, seed=21)
+    df = spark.createDataFrame(
+        [
+            (r["doc_id"], r["url"], r["warc_ts"], bytearray(r["html"]), r["text"], r["lang"])
+            for r in rows
+        ],
+        "doc_id long, url string, warc_ts timestamp, html binary, text string, lang string",
+    ).cache()
+    return rows, df
+
+
+def test_extraction_byte_identical(spark, corpus):
+    """BASELINE.json per-row invariant: extract(html) == text per url."""
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.functions.extract import extract_text_udf
+
+    rows, df = corpus
+    bad = df.withColumn("ext", extract_text_udf()(F.col("html"))).where(
+        F.col("ext") != F.col("text")
+    )
+    assert bad.count() == 0
+    # python-side inverse too
+    for r in rows[:20]:
+        assert extract_text(render_html(r["text"])) == r["text"]
+
+
+def test_pipeline_end_to_end_and_resume(spark, corpus):
+    from fast_er_spark.pipeline import DedupConfig, DedupPipeline
+
+    rows, df = corpus
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    workdir = tempfile.mkdtemp(prefix="dedup_stage_")
+    try:
+        cfg = DedupConfig(html_col="html", substring_pass=True)
+        pipe = DedupPipeline(spark, workdir, cfg)
+        clusters = pipe.run(df, resume=True)
+        got = {int(r.id): int(r.component) for r in clusters.collect()}
+        assert len(got) == len(rows)
+        assert not any(s.resumed for s in pipe.results)
+
+        # metrics + per-partition lineage recorded for every stage
+        stages = {r["stage"] for r in pipe.metrics().collect()}
+        assert stages == set(pipe.STAGES)
+        lin = pipe.lineage().groupBy("stage").count().collect()
+        assert {r["stage"] for r in lin} == set(pipe.STAGES)
+
+        # duplicate-cluster quality: every verified-jaccard dup pair must be
+        # co-clustered (substring edges may merge more, never less)
+        want_pairs = jaccard_dup_pairs(texts, n=3, mode="word", threshold=0.8)
+        co = sum(1 for a, b in want_pairs if got[a] == got[b])
+        assert co / len(want_pairs) >= 0.99
+
+        # RESUME: second run must read every stage back, same answer
+        pipe2 = DedupPipeline(spark, workdir, cfg)
+        clusters2 = pipe2.run(df, resume=True)
+        assert all(s.resumed for s in pipe2.results)
+        got2 = {int(r.id): int(r.component) for r in clusters2.collect()}
+        assert got2 == got
+
+        # config change -> new fingerprint -> no stale reuse
+        cfg3 = DedupConfig(html_col="html", substring_pass=False)
+        pipe3 = DedupPipeline(spark, workdir, cfg3)
+        pipe3.run(df, resume=True)
+        assert not any(s.resumed for s in pipe3.results)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def test_substring_pass_catches_low_jaccard_containment(spark, corpus):
+    """Planted long-shared-substring docs have low whole-doc Jaccard; the
+    anchor pass must link them anyway."""
+    from fast_er_spark.operators.substring import anchor_pairs
+
+    rows, df = corpus
+    docs = df.selectExpr("doc_id as id", "text")
+    pairs = {
+        (int(r.id_a), int(r.id_b))
+        for r in anchor_pairs(docs, "id", "text", anchor_len=32, density=8).collect()
+    }
+    # containment fixtures: text of one doc embedded in another
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    containment = {
+        (max(i, j), min(i, j))
+        for i in texts
+        for j in texts
+        if i != j and len(texts[j]) >= 64 and texts[j] in texts[i]
+    }
+    assert containment, "fixture planted no containment pairs"
+    missed = containment - pairs
+    assert not missed, f"anchor pass missed {sorted(missed)[:5]}"
+
+
+def test_streaming_exact_dedup(spark, corpus, tmp_path):
+    from fast_er_spark.streaming.dedup_stream import streaming_dup_rate, streaming_exact_dedup
+
+    rows, df = corpus
+    src = str(tmp_path / "stream_src")
+    df.select("doc_id", "warc_ts", "text").write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, warc_ts timestamp, text string").parquet(src)
+    deduped = streaming_exact_dedup(stream, "text", "warc_ts")
+    out = str(tmp_path / "stream_out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_distinct_texts = df.select("text").distinct().count()
+    assert got.count() == n_distinct_texts
+    assert got.select("text").distinct().count() == n_distinct_texts
+
+    rate = streaming_dup_rate(stream, "text", "warc_ts", window="10 minutes")
+    out2 = str(tmp_path / "rate_out")
+    q2 = (
+        rate.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    # append mode emits only watermark-closed windows; schema must hold
+    assert spark.read.parquet(out2).columns == [
+        "window_start", "n_docs", "n_distinct", "dup_rate"
+    ]
+
+
+def test_similarity_lsh_recall(spark):
+    import numpy as np
+
+    from fast_er_spark.operators.similarity import cosine_topk, lsh_topk
+
+    rng = np.random.default_rng(3)
+    dim, n_clusters, per = 32, 64, 6
+    # planted neighborhood structure (uniform-random vectors have no
+    # neighbors to find — cos(NN) ~ 0.35 — and defeat any ANN index)
+    cents = rng.standard_normal((n_clusters, dim))
+    vecs = np.repeat(cents, per, axis=0) + 0.15 * rng.standard_normal(
+        (n_clusters * per, dim)
+    )
+    n = len(vecs)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    q = df.where("vec_id < 10")
+    exact = {
+        (r.qid, r.vid) for r in cosine_topk(q, df, k=5).collect()
+    }
+    approx = {
+        (r.qid, r.vid)
+        for r in lsh_topk(q, df, dim=dim, k=5, n_planes=8, n_tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_multimodal_plumbing(spark):
+    from fast_er_spark.operators.multimodal import attach_fake_media, frame_sample, media_features
+
+    df = spark.range(50).withColumnRenamed("id", "doc_id")
+    media = attach_fake_media(df, "doc_id")
+    feats = media_features(media, "doc_id", decode="fake")
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(0.0 <= r.mean_r <= 255.0 for r in rows)
+    # determinism
+    rows2 = media_features(media, "doc_id", decode="fake").collect()
+    assert {(r.id, r.mean_r) for r in rows} == {(r.id, r.mean_r) for r in rows2}
+    # real decode is an explicit stub
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        media_features(media, "doc_id", decode="real").collect()
+
+    from pyspark.sql import functions as F
+
+    vids = media.withColumn(
+        "media",
+        F.col("media").withField("duration_ms", F.lit(3500).cast("int")),
+    )
+    frames = frame_sample(vids, "doc_id", every_ms=1000)
+    per = frames.groupBy("id").count().collect()
+    assert all(r["count"] == 4 for r in per)  # 0,1000,2000,3000
