@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 from .estimation import Estimation
 from .operators.agreement import (
     assemble_patterns,
+    char_lsh_value_candidates,
     exact_levels_dedup,
     exact_levels_linkage,
     fuzzy_levels_dedup,
@@ -65,9 +66,13 @@ class Comparison:
         vars_exact_b: list[str] | None = None,
         id_a: str | None = None,
         id_b: str | None = None,
+        blocking_a: str | None = None,
+        blocking_b: str | None = None,
     ):
         vars_exact_a = vars_exact_a or []
         vars_exact_b = vars_exact_b or []
+        if (blocking_a is None) != (blocking_b is None):
+            raise ValueError("blocking needs a column on both sides")
         if len(vars_fuzzy_a) != len(vars_fuzzy_b) or len(vars_exact_a) != len(vars_exact_b):
             raise ValueError("variable lists for A and B must have equal length")
         for c in vars_fuzzy_a + vars_exact_a:
@@ -78,6 +83,11 @@ class Comparison:
                 raise ValueError(f"column {c} not in df_b")
         self.df_a = _with_row_id(df_a, id_a)
         self.df_b = _with_row_id(df_b, id_b)
+        self.blocking_a = blocking_a
+        self.blocking_b = blocking_b
+        if blocking_a is not None:
+            self.df_a = self.df_a.withColumn("__block", F.col(blocking_a).cast("string"))
+            self.df_b = self.df_b.withColumn("__block", F.col(blocking_b).cast("string"))
         self.vars_fuzzy_a = vars_fuzzy_a
         self.vars_fuzzy_b = vars_fuzzy_b
         self.vars_exact_a = vars_exact_a
@@ -96,17 +106,26 @@ class Comparison:
     ) -> "Comparison":
         if self.patterns is not None:
             raise RuntimeError("already fitted")
-        a = self.df_a.select(F.col(_ROW_ID).alias("id_a"), *self.vars_fuzzy_a, *self.vars_exact_a)
-        b = self.df_b.select(F.col(_ROW_ID).alias("id_b"), *self.vars_fuzzy_b, *self.vars_exact_b)
+        blk = self.blocking_a is not None
+        bl = ["__block"] if blk else []
+        a = self.df_a.select(
+            F.col(_ROW_ID).alias("id_a"), *self.vars_fuzzy_a, *self.vars_exact_a, *bl
+        )
+        b = self.df_b.select(
+            F.col(_ROW_ID).alias("id_b"), *self.vars_fuzzy_b, *self.vars_exact_b, *bl
+        )
         frames = []
         for ca, cb in zip(self.vars_fuzzy_a, self.vars_fuzzy_b):
             frames.append(
                 fuzzy_levels_linkage(
-                    a, b, ca, cb, "id_a", "id_b", p, lower_thr, upper_thr, candidates
+                    a, b, ca, cb, "id_a", "id_b", p, lower_thr, upper_thr,
+                    candidates, block=blk,
                 )
             )
         for ca, cb in zip(self.vars_exact_a, self.vars_exact_b):
-            frames.append(exact_levels_linkage(a, b, ca, cb, "id_a", "id_b"))
+            frames.append(
+                exact_levels_linkage(a, b, ca, cb, "id_a", "id_b", block=blk)
+            )
         self.patterns = assemble_patterns(frames, self.k_fuzzy, self.k_exact)
         return self
 
@@ -120,9 +139,32 @@ class Comparison:
                 int(r["pattern_id"]): int(r["cnt"])
                 for r in pattern_counts(self.patterns).collect()
             }
-            self._counts = counts_with_complement(
-                observed, self.k_fuzzy, self.k_exact, self.df_a.count(), self.df_b.count()
-            )
+            if self.blocking_a is None:
+                total_a, total_b = self.df_a.count(), self.df_b.count()
+                self._counts = counts_with_complement(
+                    observed, self.k_fuzzy, self.k_exact, total_a, total_b
+                )
+            else:
+                # blocked pair universe: sum over blocks |A_b| * |B_b|
+                # (reference blocking sums per-block Counts, usage.rst)
+                ca = self.df_a.groupBy("__block").count().withColumnsRenamed(
+                    {"count": "na"}
+                )
+                cb = self.df_b.groupBy("__block").count().withColumnsRenamed(
+                    {"count": "nb"}
+                )
+                row = ca.join(cb, "__block").select(
+                    F.sum(F.col("na") * F.col("nb")).alias("t")
+                ).collect()[0]
+                total = int(row["t"] or 0)
+                from .patterns import n_patterns
+                import numpy as np
+                counts = np.zeros(n_patterns(self.k_fuzzy, self.k_exact), dtype=np.int64)
+                for pid, c in observed.items():
+                    if pid != 0:
+                        counts[pid] = c
+                counts[0] = total - counts[1:].sum()
+                self._counts = counts
         return self._counts
 
 

@@ -37,6 +37,7 @@ from ..functions.jw import jw_batch
 from ..patterns import strides
 
 __all__ = [
+    "char_lsh_value_candidates",
     "scored_value_pairs",
     "fuzzy_levels_linkage",
     "fuzzy_levels_dedup",
@@ -56,6 +57,49 @@ def _jw_levels_udf(p: float, lower: float, upper: float):
     return jw_level
 
 
+def char_lsh_value_candidates(
+    num_perm: int = 64,
+    bands: int = 16,
+    rows_per_band: int = 2,
+    n: int = 2,
+    seed: int = 42,
+) -> Callable[[DataFrame, DataFrame], DataFrame]:
+    """Candidate generator for `scored_value_pairs` at scale: char-bigram
+    MinHash-LSH over the DISTINCT VALUES of the compared column, so the JW
+    UDF only scores value pairs that plausibly clear the 0.88 band instead
+    of the full distinct cross product. (b=16, r=2) collides at >=0.97 for
+    char-bigram Jaccard 0.5 — generous for JW >= 0.88 names."""
+    from .lsh import lsh_candidate_pairs
+
+    def gen(vals_a: DataFrame, vals_b: DataFrame) -> DataFrame:
+        a = vals_a.select(F.col("val_a").alias("v")).withColumn("side", F.lit(0))
+        b = vals_b.select(F.col("val_b").alias("v")).withColumn("side", F.lit(1))
+        both = a.unionByName(b).distinct()
+        # unique id per (value, side); shift+or wraps bitwise (no ANSI
+        # overflow, unlike arithmetic * 2 + side)
+        both = both.withColumn(
+            "vid", F.shiftleft(F.xxhash64("v"), 1).bitwiseOR(F.col("side").cast("long"))
+        )
+        pairs = lsh_candidate_pairs(
+            both, "vid", "v", num_perm=num_perm, bands=bands,
+            rows_per_band=rows_per_band, n=n, mode="char", seed=seed,
+        )
+        ids = both.select("vid", "v")
+        va = ids.withColumnRenamed("vid", "id_a").withColumnRenamed("v", "va")
+        vb = ids.withColumnRenamed("vid", "id_b").withColumnRenamed("v", "vb")
+        j = pairs.join(va, "id_a").join(vb, "id_b")
+        # emit both orientations: caller joins val_a to A's values and
+        # val_b to B's, and LSH pairs are unordered
+        out = j.select(F.col("va").alias("val_a"), F.col("vb").alias("val_b")).unionByName(
+            j.select(F.col("vb").alias("val_a"), F.col("va").alias("val_b"))
+        )
+        return out.join(vals_a, "val_a", "left_semi").join(
+            vals_b, "val_b", "left_semi"
+        ).distinct()
+
+    return gen
+
+
 def scored_value_pairs(
     vals_a: DataFrame,
     vals_b: DataFrame,
@@ -67,7 +111,8 @@ def scored_value_pairs(
     """(val_a, val_b, level) for level > 0, over distinct value frames.
 
     ``candidates`` maps (vals_a, vals_b) -> DataFrame(val_a, val_b); default
-    is the full cross product of distincts (reference-exact, test scale).
+    is the full cross product of distincts (reference-exact, test scale);
+    pass ``char_lsh_value_candidates()`` for the sketch-pruned scale path.
     """
     if candidates is None:
         cand = vals_a.crossJoin(vals_b)
@@ -92,8 +137,15 @@ def fuzzy_levels_linkage(
     lower: float = 0.88,
     upper: float = 0.94,
     candidates=None,
+    block: bool = False,
 ) -> DataFrame:
-    """(id_a, id_b, level) for one fuzzy variable across A x B."""
+    """(id_a, id_b, level) for one fuzzy variable across A x B.
+
+    ``block=True``: the input frames carry a ``__block`` column and only
+    same-block row pairs are emitted (reference "Blocking",
+    docs/source/usage.rst) — the block key joins the join-back keys, so
+    scoring still runs once per distinct value pair.
+    """
     vals_a = df_a.select(F.col(col_a).cast("string").alias("val_a")).where(
         F.col("val_a").isNotNull()
     ).distinct()
@@ -101,11 +153,12 @@ def fuzzy_levels_linkage(
         F.col("val_b").isNotNull()
     ).distinct()
     matched = scored_value_pairs(vals_a, vals_b, p, lower, upper, candidates)
-    rows_a = df_a.select(F.col(id_a), F.col(col_a).cast("string").alias("val_a"))
-    rows_b = df_b.select(F.col(id_b), F.col(col_b).cast("string").alias("val_b"))
+    bl = ["__block"] if block else []
+    rows_a = df_a.select(F.col(id_a), F.col(col_a).cast("string").alias("val_a"), *bl)
+    rows_b = df_b.select(F.col(id_b), F.col(col_b).cast("string").alias("val_b"), *bl)
     return (
         matched.join(rows_a, "val_a")
-        .join(rows_b, "val_b")
+        .join(rows_b, ["val_b", *bl])
         .select(id_a, id_b, "level")
     )
 
@@ -118,6 +171,7 @@ def fuzzy_levels_dedup(
     lower: float = 0.88,
     upper: float = 0.94,
     candidates=None,
+    block: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, level) with id_a > id_b for one fuzzy variable within df.
 
@@ -136,15 +190,16 @@ def fuzzy_levels_dedup(
         cand = candidates(vals, vals_b).where(F.col("val_a") < F.col("val_b"))
     matched = scored_value_pairs(vals, vals_b, p, lower, upper, lambda *_: cand)
 
-    rows = df.select(F.col(id_col), F.col(col).cast("string").alias("val"))
-    ra = rows.select(F.col(id_col).alias("ida"), F.col("val").alias("val_a"))
-    rb = rows.select(F.col(id_col).alias("idb"), F.col("val").alias("val_b"))
+    bl = ["__block"] if block else []
+    rows = df.select(F.col(id_col), F.col(col).cast("string").alias("val"), *bl)
+    ra = rows.select(F.col(id_col).alias("ida"), F.col("val").alias("val_a"), *bl)
+    rb = rows.select(F.col(id_col).alias("idb"), F.col("val").alias("val_b"), *bl)
 
     # canonicalize each row pair as (max, min) like the reference
     # (deduplication.py:301-310)
     diff_val = (
         matched.join(ra, "val_a")
-        .join(rb, "val_b")
+        .join(rb, ["val_b", *bl])
         .select(
             F.greatest("ida", "idb").alias("id_a"),
             F.least("ida", "idb").alias("id_b"),
@@ -152,8 +207,11 @@ def fuzzy_levels_dedup(
         )
     )
     # same-value pairs: diagonal short-circuit, level 2
+    join_same = (F.col("val_a") == F.col("val_b")) if not block else (
+        (F.col("val_a") == F.col("val_b")) & (ra["__block"] == rb["__block"])
+    )
     same_val = (
-        ra.join(rb, F.col("val_a") == F.col("val_b"))
+        ra.join(rb, join_same)
         .where(F.col("ida") > F.col("idb"))
         .select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"), F.lit(2).alias("level"))
     )
@@ -167,28 +225,34 @@ def exact_levels_linkage(
     col_b: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    block: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, 1) for equal (non-null) values — a plain hash equi-join
-    (reference #8, comparison.py:500-600)."""
-    a = df_a.select(F.col(id_a), F.col(col_a).cast("string").alias("v")).where(
+    (reference #8, comparison.py:500-600). ``block=True`` adds the
+    ``__block`` column to the join key."""
+    bl = ["__block"] if block else []
+    a = df_a.select(F.col(id_a), F.col(col_a).cast("string").alias("v"), *bl).where(
         F.col("v").isNotNull()
     )
-    b = df_b.select(F.col(id_b), F.col(col_b).cast("string").alias("v")).where(
+    b = df_b.select(F.col(id_b), F.col(col_b).cast("string").alias("v"), *bl).where(
         F.col("v").isNotNull()
     )
-    return a.join(b, "v").select(id_a, id_b, F.lit(1).alias("level"))
+    return a.join(b, ["v", *bl]).select(id_a, id_b, F.lit(1).alias("level"))
 
 
-def exact_levels_dedup(df: DataFrame, col: str, id_col: str = "id") -> DataFrame:
+def exact_levels_dedup(
+    df: DataFrame, col: str, id_col: str = "id", block: bool = False
+) -> DataFrame:
     """(id_a, id_b, 1) for equal values within df, id_a > id_b (reference
     #12, deduplication.py:628-701)."""
-    rows = df.select(F.col(id_col), F.col(col).cast("string").alias("v")).where(
+    bl = ["__block"] if block else []
+    rows = df.select(F.col(id_col), F.col(col).cast("string").alias("v"), *bl).where(
         F.col("v").isNotNull()
     )
-    a = rows.select(F.col(id_col).alias("id_a"), "v")
-    b = rows.select(F.col(id_col).alias("id_b"), "v")
+    a = rows.select(F.col(id_col).alias("id_a"), "v", *bl)
+    b = rows.select(F.col(id_col).alias("id_b"), "v", *bl)
     return (
-        a.join(b, "v")
+        a.join(b, ["v", *bl])
         .where(F.col("id_a") > F.col("id_b"))
         .select("id_a", "id_b", F.lit(1).alias("level"))
     )

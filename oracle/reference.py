@@ -58,14 +58,19 @@ def linkage_patterns(
     p: float = 0.1,
     lower: float = 0.88,
     upper: float = 0.94,
+    blocks_a: list | None = None,
+    blocks_b: list | None = None,
 ) -> dict[int, list[int]]:
     """All-pairs A x B scoring. Each row is a tuple of the compared values,
-    fuzzy columns first. Returns {pattern_id: sorted flat pair ids}."""
+    fuzzy columns first. Returns {pattern_id: sorted flat pair ids}.
+    With blocks, only same-block pairs are scored (reference Blocking)."""
     st = strides(k_fuzzy, k_exact)
     n_b = len(rows_b)
     out: dict[int, list[int]] = defaultdict(list)
     for i, ra in enumerate(rows_a):
         for j, rb in enumerate(rows_b):
+            if blocks_a is not None and blocks_a[i] != blocks_b[j]:
+                continue
             levels = _pair_levels(ra, rb, k_fuzzy, p, lower, upper)
             pid = sum(l * s for l, s in zip(levels, st))
             if pid != 0:
