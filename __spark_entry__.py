@@ -386,6 +386,65 @@ def q_simhash_bands(spark, sf_dir):
     return docs.select(F.col("doc_id").cast("long"), sh(F.col("text")).alias("simhash"))
 
 
+def q_fs_threshold_metrics(spark, sf_dir):
+    """Evaluation surface (reference evaluation.py): estimated FDR/FNR over
+    a threshold grid + optimal threshold, from the supplier pattern counts
+    (rows-only: depends on EM posteriors)."""
+    import numpy as np
+
+    from fast_er_spark.estimation import Estimation
+    from fast_er_spark.evaluation import Evaluation
+
+    observed = {
+        int(r["pattern_id"]): int(r["cnt"])
+        for r in q_fs_pattern_counts(spark, sf_dir).collect()
+    }
+    counts = np.zeros(4, dtype=np.int64)
+    for pid, c in observed.items():
+        counts[pid] = c
+    est = Estimation(0, 2, counts, seed=13).fit()
+    ev = Evaluation(est.lam, est.ksi, counts)
+    rows = [
+        (round(float(t), 2), float(np.nan_to_num(ev.fdr(t), nan=-1.0)),
+         float(np.nan_to_num(ev.fnr(t), nan=-1.0)))
+        for t in np.linspace(0.0, 1.0, 21)
+    ]
+    return spark.createDataFrame(rows, "threshold double, fdr double, fnr double")
+
+
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: band the 64-bit fingerprints into 4 blocks,
+    join on any shared block, keep Hamming distance <= 6 (JVM bit_count on
+    xor — no UDF in the pair path). Rows-only: hash family engine-defined."""
+    fps = q_simhash_bands(spark, sf_dir)  # (doc_id, simhash)
+    blocks = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("block_idx", "block"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a"), "block_idx", "block"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("fp_b"), "block_idx", "block"
+    )
+    return (
+        a.join(b, ["block_idx", "block"])
+        .where(F.col("id_a") > F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .where(F.col("hamming") <= 6)
+        .select("id_a", "id_b", F.col("hamming").cast("int"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def q_embedding_lsh_topk(spark, sf_dir):
     """Approximate ANN: SRP-bucketed candidates + exact cosine re-rank
     (rows-only: hyperplane family is engine-defined)."""
@@ -438,6 +497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nations_except": q_nations_except,
         "orders_running_sum": q_orders_running_sum,
         "simhash_bands": q_simhash_bands,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "fs_threshold_metrics": q_fs_threshold_metrics,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "media_features": q_media_features,
     }

@@ -70,7 +70,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str = "id",
     max_iter: int = 30,
-    rows_per_partition: int = 500_000,
+    rows_per_partition: int = 100_000,
 ) -> DataFrame:
     """(id, component) with component = min node id in the component.
 

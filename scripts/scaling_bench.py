@@ -2,18 +2,27 @@
 """Scaling evidence: the same dedup job at two parallelism levels.
 
 north_rule requires throughput scaling efficiency >= 0.8 between N and 4N
-executors; this sandbox has no cluster, so (per the driver brief) we run the
-identical job at local[8] and local[32] on the identical input and report
-docs/sec at both plus efficiency = T_4N / (4 * T_N).
+EXECUTORS. This sandbox has no real cluster, so two substitutes (per the
+driver brief), most-representative first:
 
-Each level runs in its OWN subprocess/JVM (no warm-cache contamination).
-The measured job is the compute-bound dedup core — MinHash signatures ->
-LSH banding -> candidate join -> exact-Jaccard verify -> connected
-components — on a deterministic synthetic corpus large enough that fixed
-JVM/stage overhead stays below the parallel work (default 40k docs).
+- ``executors`` mode (default): Spark local-cluster — real separate executor
+  JVMs on this box. 2 executors x 4 cores vs 8 executors x 4 cores is
+  literally N vs 4N executors, each with its own heap/GC/shuffle tree,
+  exactly the topology the rule scales.
+- ``threads`` mode: local[8] vs local[32] (one shared JVM). Pessimistic:
+  a single JVM shares one allocator/GC/memory-bus across all task threads,
+  which caps shuffle-heavy stages regardless of cores (see PERF.md).
 
-Usage: python scripts/scaling_bench.py [n_docs]
-Prints one JSON line; also appended by hand to BASELINE.md.
+Each level runs in its OWN subprocess; min-of-3 trials with /proc/stat CPU
+steal per trial (this VM gets 50-350 s steal bursts from the hypervisor —
+single samples are meaningless).
+
+The measured job is the full dedup core: MinHash signatures -> LSH banding ->
+candidate generation -> exact-Jaccard verify -> connected components, on a
+deterministic synthetic corpus (vectorized generator below).
+
+Usage: python scripts/scaling_bench.py [n_docs] [executors|threads]
+Prints one JSON line; recorded in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -29,16 +38,32 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
-from fast_er_spark.session import get_spark
+from pyspark.sql import SparkSession
 from fast_er_spark.operators.lsh import lsh_candidate_pairs
 from fast_er_spark.operators.verify import verify_pairs_jaccard
 from fast_er_spark.operators.components import connected_components
 
-cpus = int(sys.argv[1]); data = sys.argv[2]
-spark = get_spark(f"scaling-{{cpus}}", cpus=cpus, shuffle_partitions=2 * cpus)
+master, cores, data = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+# ship the package to executor python workers, spark-submit --py-files style
+# (required in local-cluster mode: executors are separate JVMs whose python
+# workers don't inherit the driver's sys.path)
+import shutil, tempfile
+pkg_zip = shutil.make_archive(
+    os.path.join(tempfile.mkdtemp(), "fast_er_spark"), "zip",
+    root_dir={repo!r}, base_dir="fast_er_spark",
+)
+spark = (SparkSession.builder.appName(f"scaling")
+         .master(master)
+         .config("spark.sql.shuffle.partitions", str(2 * cores))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.driver.memory", "8g")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.addPyFile(pkg_zip)
 spark.sparkContext.setLogLevel("ERROR")
-docs = spark.read.parquet(data)
-docs = docs.repartition(2 * cpus).cache()
+docs = spark.read.parquet(data).repartition(2 * cores).cache()
 n = docs.count()  # materialize cache: measure compute, not parquet read
 
 t0 = time.perf_counter()
@@ -48,7 +73,8 @@ ver = verify_pairs_jaccard(cand, docs, "id", "text", n=3, threshold=0.8)
 clusters = connected_components(ver, nodes=docs.select("id"))
 clusters.write.format("noop").mode("overwrite").save()
 wall = time.perf_counter() - t0
-print(json.dumps({{"cpus": cpus, "docs": n, "wall_sec": round(wall, 2),
+print(json.dumps({{"master": master, "cores": cores, "docs": n,
+                   "wall_sec": round(wall, 2),
                    "docs_per_sec": round(n / wall, 1)}}))
 spark.stop()
 """
@@ -76,8 +102,6 @@ def synth_corpus(path: str, n: int, seed: int = 42) -> None:
             m = min(chunk, n - doc_id)
             L = int(rng.integers(120, 220))
             ids = rng.integers(0, V, size=(m, L))
-            # plant dups: ~30% of rows copy the previous row with ~3% of
-            # positions re-rolled (exact copies when zero positions change)
             dup_mask = rng.random(m) < 0.30
             dup_mask[0] = False
             rows_idx = np.nonzero(dup_mask)[0]
@@ -110,18 +134,15 @@ def _steal_sec() -> float:
         return 0.0
 
 
-def run_level(cpus: int, data: str, trials: int = 3) -> dict:
-    """Min-of-N trials: this sandbox VM suffers intermittent hypervisor CPU
-    steal (observed bursts of 50-200 s of steal during a 60 s job), so a
-    single sample can be 2-3x off. Steal seconds per trial are reported so
-    the evidence is auditable."""
+def run_level(master: str, cores: int, data: str, trials: int = 3) -> dict:
+    """Min-of-N trials with per-trial hypervisor-steal accounting."""
     script = WORKER.format(repo=REPO)
     best = None
     samples = []
     for _ in range(trials):
         s0 = _steal_sec()
         out = subprocess.run(
-            [sys.executable, "-c", script, str(cpus), data],
+            [sys.executable, "-c", script, master, str(cores), data],
             capture_output=True, text=True, timeout=1800,
         )
         stolen = round(_steal_sec() - s0, 1)
@@ -137,19 +158,30 @@ def run_level(cpus: int, data: str, trials: int = 3) -> dict:
     return best
 
 
+MODES = {
+    # mode: (low_master, low_cores, high_master, high_cores, label)
+    "executors": ("local-cluster[2,4,8192]", 8, "local-cluster[8,4,8192]", 32,
+                  "2 executors x 4 cores vs 8 executors x 4 cores"),
+    "threads": ("local[8]", 8, "local[32]", 32, "local[8] vs local[32], one JVM"),
+}
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_500_000
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    mode = sys.argv[2] if len(sys.argv) > 2 else "executors"
+    lo_master, lo_cores, hi_master, hi_cores, label = MODES[mode]
     with tempfile.TemporaryDirectory(prefix="scaling_corpus_") as td:
         data = os.path.join(td, "corpus.parquet")
         synth_corpus(data, n)
-        lo = run_level(8, data)
-        hi = run_level(32, data)
+        lo = run_level(lo_master, lo_cores, data)
+        hi = run_level(hi_master, hi_cores, data)
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
     print(json.dumps({
-        "metric": "dedup_scaling_efficiency_8_to_32",
+        "metric": f"dedup_scaling_efficiency_Nx4_{mode}",
+        "topology": label,
         "n_docs": n,
-        "local8": lo,
-        "local32": hi,
+        "low": lo,
+        "high": hi,
         "efficiency": round(eff, 3),
         "target": 0.8,
     }))

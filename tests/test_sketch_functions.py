@@ -1,0 +1,90 @@
+"""Pure-python unit tests for the sketch primitives (no SparkSession)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from fast_er_spark.functions.minhash import (
+    jaccard_estimate,
+    minhash_batch,
+    minhash_params,
+    minhash_signature,
+)
+from fast_er_spark.functions.shingles import hash_shingles, hash_shingles_batch, shingles
+from fast_er_spark.functions.simhash import hamming64, simhash_bands, simhash_batch
+from oracle.reference import jaccard, shingle_set
+
+
+def test_shingles_semantics():
+    assert shingles("a b c d", 3) == ["a b c", "b c d"]
+    assert shingles("a b", 3) == ["a b"]  # short -> whole input
+    assert shingles("", 3) == []
+    assert shingles("abcd", 3, "char") == ["abc", "bcd"]
+    assert shingles("ab", 3, "char") == ["ab"]
+
+
+def test_batch_hashes_match_per_string_cardinality():
+    """hash_shingles_batch must produce the same DISTINCT-shingle counts and
+    the same intersections as string shingles (hash identity, w.h.p.)."""
+    texts = ["the quick brown fox jumps", "the quick brown fox leaps",
+             "one two", "", None, "x " * 40]
+    batch = hash_shingles_batch(pd.Series(texts), 3, "word", seed=1)
+    for t, h in zip(texts, batch):
+        if t is None:
+            assert h.size == 0
+            continue
+        assert h.size == len(shingle_set(t, 3, "word"))
+    # intersections: docs 0/1 share exactly the shingles their string sets share
+    s0, s1 = shingle_set(texts[0], 3), shingle_set(texts[1], 3)
+    inter_str = len(s0 & s1)
+    inter_hash = len(np.intersect1d(batch[0], batch[1]))
+    assert inter_hash == inter_str
+
+
+def test_minhash_jaccard_estimate_accuracy():
+    rng = np.random.default_rng(0)
+    a, b = minhash_params(256, seed=42)
+    base = rng.integers(0, 1 << 61, size=600, dtype=np.uint64)
+    set_a = base[:400]
+    for overlap in (100, 200, 300, 400):
+        set_b = np.concatenate([base[:overlap], base[400 : 800 - overlap]])
+        true_j = overlap / (800 - overlap)
+        sig_a = minhash_signature(set_a, a, b)
+        sig_b = minhash_signature(set_b, a, b)
+        est = jaccard_estimate(sig_a, sig_b)
+        assert est == pytest.approx(true_j, abs=0.12), (overlap, true_j, est)
+
+
+def test_minhash_batch_deterministic_and_empty_safe():
+    texts = pd.Series(["hello world foo bar baz", "", None, "hello world foo bar baz"])
+    s1 = minhash_batch(texts, 64, 3, "word", seed=7)
+    s2 = minhash_batch(texts, 64, 3, "word", seed=7)
+    assert list(s1[0]) == list(s2[0]) == list(s1[3])
+    # empty/None rows must not collide with each other or content rows
+    assert s1[0] != s1[1] and s1[1] != s1[2]
+
+
+def test_simhash_near_duplicates_low_hamming():
+    doc = "the quick brown fox jumps over the lazy dog " * 8
+    near = doc.replace("lazy", "sleepy", 2)
+    far = "completely different content about spark shuffles and joins " * 8
+    fps = simhash_batch(pd.Series([doc, near, far]), 3, "word", 42)
+    assert hamming64(int(fps[0]), int(fps[1])) <= 12
+    assert hamming64(int(fps[0]), int(fps[2])) > 20
+    # banding: near dups share a block at small hamming
+    b0 = set(simhash_bands(int(fps[0])))
+    b2 = set(simhash_bands(int(fps[2])))
+    assert b0 != b2
+
+
+def test_hash_shingles_stable_across_calls():
+    h1 = hash_shingles(["a b c", "b c d"], seed=3)
+    h2 = hash_shingles(["b c d", "a b c"], seed=3)
+    assert set(h1.tolist()) == set(h2.tolist())
+
+
+def test_oracle_jaccard_consistency():
+    a = shingle_set("w1 w2 w3 w4 w5", 3)
+    b = shingle_set("w1 w2 w3 w4 w6", 3)
+    assert jaccard(a, b) == pytest.approx(len(a & b) / len(a | b))
+    assert jaccard(set(), set()) == 0.0
