@@ -52,11 +52,11 @@ def q_minhash_lsh_dedup(spark, sf_dir):
 def q_token_jaccard_pairs(spark, sf_dir):
     """Brute-force-by-content n-gram Jaccard pairs: shingle explode +
     self-equi-join on shingle + count — no LSH, the exact path."""
-    from fast_er_spark.operators.verify import shingle_array
+    from fast_er_spark.operators.verify import shingle_hashes
 
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select(
-        F.col("doc_id").alias("id"), F.explode(shingle_array(F.col("text"), NGRAM)).alias("g")
+        F.col("doc_id").alias("id"), F.explode(shingle_hashes("text", NGRAM)).alias("g")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "g")

@@ -115,7 +115,11 @@ def scored_value_pairs(
     pass ``char_lsh_value_candidates()`` for the sketch-pruned scale path.
     """
     if candidates is None:
-        cand = vals_a.crossJoin(vals_b)
+        # cartesian partitioning is |parts_a| x |parts_b|: coalesce first or
+        # a 5k-pair cross of distinct values fans into hundreds of tiny
+        # UDF tasks (exact path is reference-parity / test scale only —
+        # production scale uses an LSH candidate generator)
+        cand = vals_a.coalesce(4).crossJoin(vals_b.coalesce(4))
     else:
         cand = candidates(vals_a, vals_b)
     lvl = _jw_levels_udf(p, lower, upper)
@@ -185,7 +189,9 @@ def fuzzy_levels_dedup(
     # each scored exactly once (JW is symmetric)
     vals_b = vals.select(F.col("val_a").alias("val_b"))
     if candidates is None:
-        cand = vals.crossJoin(vals_b).where(F.col("val_a") < F.col("val_b"))
+        cand = vals.coalesce(4).crossJoin(vals_b.coalesce(4)).where(
+            F.col("val_a") < F.col("val_b")
+        )
     else:
         cand = candidates(vals, vals_b).where(F.col("val_a") < F.col("val_b"))
     matched = scored_value_pairs(vals, vals_b, p, lower, upper, lambda *_: cand)

@@ -30,6 +30,8 @@ def _bidir(e: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
+    # no trailing distinct: duplicate edges are tolerated for one round and
+    # collapsed by small_star's distinct — saves a shuffle per round
     bidir = _bidir(e)
     mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     return (
@@ -37,7 +39,6 @@ def _large_star(e: DataFrame) -> DataFrame:
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -56,6 +57,7 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _checksum(e: DataFrame) -> tuple[int, int]:
+    # count + order-insensitive hash in one job over the checkpointed blocks
     row = e.agg(
         F.count(F.lit(1)).alias("cnt"),
         F.coalesce(F.sum(F.xxhash64("u", "v") % F.lit(2_000_003)), F.lit(0)).alias("h"),

@@ -10,8 +10,8 @@ stay explicit, per BASELINE.json north_rule:
 
 - band hashes are computed JVM-side (xxhash64 over a signature slice) — the
   only Python is the Arrow-batched signature UDF;
-- the self-join shuffles on (band, band_hash): an explicit repartition keyed
-  by bucket, sized by ``shuffle partitions``;
+- ONE shuffle keyed on (band, band_hash) gathers bucket members (hash agg,
+  no sort); pairs are emitted by a JVM array expression — no self-join;
 - hot buckets (Zipf-skewed duplicate clusters) are capped: buckets larger
   than ``max_bucket_size`` emit a star (every member -> bucket min) instead
   of the quadratic clique. A star keeps cluster connectivity intact (the
@@ -30,7 +30,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 from ..functions.minhash import minhash_batch
 

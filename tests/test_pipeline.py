@@ -83,6 +83,37 @@ def test_pipeline_end_to_end_and_resume(spark, corpus):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def test_pipeline_resumes_mid_run(spark, corpus):
+    """Kill-and-resume: wipe the LAST two stage tables after a full run; the
+    re-run must resume the surviving prefix and recompute only the tail
+    (north_rule: 'resumable from checkpoint ... mid-run')."""
+    import glob
+    import os
+
+    from fast_er_spark.pipeline import DedupConfig, DedupPipeline
+
+    rows, df = corpus
+    workdir = tempfile.mkdtemp(prefix="dedup_midrun_")
+    try:
+        cfg = DedupConfig(html_col="html", substring_pass=False)
+        pipe = DedupPipeline(spark, workdir, cfg)
+        first = {(int(r.id), int(r.component)) for r in pipe.run(df).collect()}
+
+        # simulate a mid-run crash: clusters + edges outputs lost
+        for stage in ("clusters", "edges"):
+            for path in glob.glob(os.path.join(workdir, f"{stage}_*")):
+                shutil.rmtree(path)
+
+        pipe2 = DedupPipeline(spark, workdir, cfg)
+        second = {(int(r.id), int(r.component)) for r in pipe2.run(df).collect()}
+        status = {s.name: s.resumed for s in pipe2.results}
+        assert status["input"] and status["candidates"] and status["verified"]
+        assert not status["edges"] and not status["clusters"]
+        assert second == first
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def test_substring_pass_catches_low_jaccard_containment(spark, corpus):
     """Planted long-shared-substring docs have low whole-doc Jaccard; the
     anchor pass must link them anyway."""
