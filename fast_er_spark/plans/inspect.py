@@ -21,16 +21,24 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def plan_stats(df: DataFrame) -> dict:
-    """Counts of the plan features that matter for scale."""
-    plan = formatted_plan(df)
+    """Counts of the plan features that matter for scale.
+
+    With AQE the formatted explain appends an '== Initial Plan ==' section —
+    only the final (current) plan is counted, or every operator would be
+    double-counted.
+    """
+    plan = formatted_plan(df).split("== Initial Plan ==")[0]
+    # formatted explain lists each operator twice (tree + detail block);
+    # count the "(N) Operator" detail headers only
+    op = lambda name: len(re.findall(rf"^\(\d+\) {name}", plan, re.MULTILINE))
     return {
-        "exchanges": len(re.findall(r"\bExchange\b", plan)),
-        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
-        "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
-        "codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
-        "python_udfs": len(re.findall(r"ArrowEvalPython|BatchEvalPython", plan)),
+        "exchanges": op("Exchange"),
+        "broadcast_joins": op("BroadcastHashJoin"),
+        "sortmerge_joins": op("SortMergeJoin"),
+        "python_udfs": op("ArrowEvalPython") + op("BatchEvalPython"),
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
-        "scans": len(re.findall(r"Scan parquet", plan)),
+        "scans": op("Scan parquet"),
+        "whole_stage_ops": op(r"\S+") - op("Exchange"),  # rough span proxy
     }
 
 
