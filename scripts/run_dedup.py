@@ -47,6 +47,8 @@ def main() -> None:
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--iceberg-catalog", default=None)
     ap.add_argument("--no-substring-pass", action="store_true")
+    ap.add_argument("--pregroup-exact", action="store_true",
+                    help="collapse byte-identical texts before the sketch path")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -66,6 +68,7 @@ def main() -> None:
         threshold=args.threshold,
         max_bucket_size=args.max_bucket_size,
         substring_pass=not args.no_substring_pass,
+        pregroup_exact=args.pregroup_exact,
         num_partitions=args.num_partitions,
     )
     pipe = DedupPipeline(spark, args.workdir, cfg, iceberg_catalog=args.iceberg_catalog)

@@ -83,6 +83,33 @@ def test_pipeline_end_to_end_and_resume(spark, corpus):
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def test_pregroup_same_clusters(spark, corpus):
+    """Exact-dup pregrouping must not change cluster assignments — only the
+    work done (sketch stages run over representatives)."""
+    from fast_er_spark.pipeline import DedupConfig, DedupPipeline
+
+    rows, df = corpus
+    wd1 = tempfile.mkdtemp(prefix="dedup_nopre_")
+    wd2 = tempfile.mkdtemp(prefix="dedup_pre_")
+    try:
+        base = {(int(r.id), int(r.component)) for r in DedupPipeline(
+            spark, wd1, DedupConfig(html_col="html")
+        ).run(df).collect()}
+        pre_pipe = DedupPipeline(
+            spark, wd2, DedupConfig(html_col="html", pregroup_exact=True)
+        )
+        pre = {(int(r.id), int(r.component)) for r in pre_pipe.run(df).collect()}
+        assert pre == base
+        # the pregroup stages actually ran and shrank the sketch input
+        stages = {s.name: s.rows for s in pre_pipe.results}
+        assert "pregroup_reps" in stages and "pregroup_edges" in stages
+        assert stages["pregroup_reps"] + stages["pregroup_edges"] == stages["input"]
+        assert stages["pregroup_reps"] < stages["input"]
+    finally:
+        shutil.rmtree(wd1, ignore_errors=True)
+        shutil.rmtree(wd2, ignore_errors=True)
+
+
 def test_pipeline_resumes_mid_run(spark, corpus):
     """Kill-and-resume: wipe the LAST two stage tables after a full run; the
     re-run must resume the surviving prefix and recompute only the tail
