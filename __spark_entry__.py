@@ -280,9 +280,12 @@ def q_events_hourly(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
+            # exact decimal sum, then one double conversion: both engines
+            # round the same exact value to the same IEEE double (cents are
+            # far below 2^53), so the driver's value hash matches bit-for-bit
             F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
         )
-        .select("hour", "event_type", F.col("n").cast("long"), F.col("sum_value").cast("decimal(38,2)"))
+        .select("hour", "event_type", F.col("n").cast("long"), F.col("sum_value").cast("double"))
     )
 
 
@@ -299,8 +302,8 @@ def q_tpch_q1(spark, sf_dir):
         .select(
             "l_returnflag",
             "l_linestatus",
-            F.col("sum_qty").cast("decimal(38,2)"),
-            F.col("sum_base_price").cast("decimal(38,2)"),
+            F.col("sum_qty").cast("double"),
+            F.col("sum_base_price").cast("double"),
             F.col("count_order").cast("long"),
         )
     )
@@ -315,7 +318,7 @@ def q_top_customers(spark, sf_dir):
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(10)
-        .select("c_custkey", "c_name", F.col("revenue").cast("decimal(38,2)"))
+        .select("c_custkey", "c_name", F.col("revenue").cast("double"))
     )
 
 
@@ -365,7 +368,7 @@ def q_orders_running_sum(spark, sf_dir):
     return orders.select(
         F.col("o_custkey").cast("long"),
         F.col("o_orderkey").cast("long"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("decimal(38,2)").alias(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias(
             "running_total"
         ),
     )
@@ -589,8 +592,9 @@ nonzero AS (
 )
 SELECT pattern_id, cnt FROM nonzero
 UNION ALL
-SELECT 0, (SELECT count(*) * (count(*) + 1) // 2 FROM s)
-          - (SELECT COALESCE(sum(cnt), 0) FROM nonzero)
+SELECT CAST(0 AS BIGINT),
+       CAST((SELECT count(*) * (count(*) + 1) // 2 FROM s)
+          - (SELECT COALESCE(sum(cnt), 0) FROM nonzero) AS BIGINT)
 """
     sqls["tokenstats"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -666,20 +670,20 @@ FROM ranked WHERE rank <= 5
     sqls["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """
     sqls["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        CAST(count(*) AS BIGINT) AS count_order
 FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 """
     sqls["top_customers"] = """
 SELECT c_custkey, c_name,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY revenue DESC, c_custkey ASC LIMIT 10
@@ -708,7 +712,7 @@ SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS DECIMAL(38,2)) AS running_total
+         AS DOUBLE) AS running_total
 FROM orders
 """
     # fuzzy_jw_supplier, fs_posteriors, simhash_bands: engine-defined
