@@ -20,6 +20,13 @@ from pyspark.sql.window import Window
 
 JACCARD_THR_NUM = 800_000  # threshold 0.8 as integer micro-units
 NGRAM = 3
+# document-frequency cap for the exact shingle self-join: a 3-gram shared by
+# m docs fans m^2 rows, so web-scale boilerplate shingles (df in the
+# millions) would dominate the join. Shingles above the cap are excluded
+# from BOTH the intersection and the sizes (df-capped Jaccard — stopword
+# removal, mirrored exactly in the DuckDB oracle). Far above any sf<=0.1
+# frequency, so test-scale results are the uncapped exact Jaccard.
+HOT_SHINGLE_DF_CAP = 100_000
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -57,6 +64,12 @@ def q_token_jaccard_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select(
         F.col("doc_id").alias("id"), F.explode(shingle_hashes("text", NGRAM)).alias("g")
+    )
+    # hot-shingle guard: one window shuffle on g (reused by the self-join)
+    sh = (
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .where(F.col("df") <= HOT_SHINGLE_DF_CAP)
+        .drop("df")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "g")
@@ -535,6 +548,36 @@ jpairs AS (
 
 _JACCARD_SQL = f"WITH {_SHINGLES_CTE} SELECT id_a, id_b, inter_size, union_size FROM jpairs"
 
+# token_jaccard twin with the df-capped shingle space (cap never binds at
+# test SFs, so values equal the uncapped oracle there)
+_CAPPED_JACCARD_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM documents
+  WHERE length(trim(text)) > 0
+),
+sh_all AS (
+  SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+    ELSE list_distinct([array_to_string(ts[i:i+2], ' ')
+                        for i in range(1, len(ts) - 1)]) END) AS g
+  FROM tok
+),
+sh AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM sh_all
+  ) WHERE df <= {HOT_SHINGLE_DF_CAP}
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id > b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(inter_size AS BIGINT) AS inter_size,
+       CAST(sa.n + sb.n - inter_size AS BIGINT) AS union_size
+FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE inter_size * 1000000 >= 800000 * (sa.n + sb.n - inter_size)
+"""
+
 _CC_SQL = f"""
 WITH RECURSIVE {_SHINGLES_CTE},
 edges AS (
@@ -554,7 +597,7 @@ FROM reach GROUP BY id
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
     sqls["minhash_lsh_dedup"] = _JACCARD_SQL
-    sqls["token_jaccard_pairs"] = _JACCARD_SQL
+    sqls["token_jaccard_pairs"] = _CAPPED_JACCARD_SQL
     sqls["cc_clusters"] = _CC_SQL
     sqls["exact_dedup_pairs"] = """
 SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b

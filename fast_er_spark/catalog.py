@@ -72,4 +72,11 @@ class StageCatalog:
     def exists(self, name: str) -> bool:
         if self.iceberg:
             return self.spark.catalog.tableExists(self._table(name))
-        return os.path.exists(os.path.join(self._path(name), "_SUCCESS"))
+        # Hadoop FileSystem probe, not os.path: resume-from-checkpoint must
+        # work for s3://, hdfs://, etc. workdirs, exactly the deployment
+        # scripts/run_dedup.py advertises (round-1 ADVICE)
+        marker = os.path.join(self._path(name), "_SUCCESS")
+        jvm = self.spark._jvm  # noqa: SLF001
+        hpath = jvm.org.apache.hadoop.fs.Path(marker)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())  # noqa: SLF001
+        return bool(fs.exists(hpath))

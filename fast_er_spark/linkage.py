@@ -25,7 +25,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+from pyspark.sql import types as T
 
 from .estimation import Estimation
 from .operators.agreement import (
@@ -46,11 +46,17 @@ _ROW_ID = "__row_id"
 
 def _with_row_id(df: DataFrame, order_col: str | None) -> DataFrame:
     """Stable long row id. If the table has a natural unique long key, pass it
-    as order_col; otherwise a deterministic rank over all columns is used."""
+    as order_col (the scale path — zero extra work). Otherwise positional ids
+    are assigned with zipWithIndex: one pass, per-partition counting, NO
+    global sort / single-partition window (the reference's ids are the pandas
+    positional index; zipWithIndex reproduces that for any source with a
+    stable partition order, e.g. a parquet scan). The frame is
+    localCheckpointed so every downstream action sees the same ids."""
     if order_col is not None:
         return df.withColumn(_ROW_ID, F.col(order_col).cast("long"))
-    w = F.row_number().over(Window.orderBy(*[F.col(c) for c in df.columns]))
-    return df.withColumn(_ROW_ID, (w - 1).cast("long"))
+    schema = df.schema.add(_ROW_ID, T.LongType(), False)
+    rdd = df.rdd.zipWithIndex().map(lambda t: tuple(t[0]) + (t[1],))
+    return df.sparkSession.createDataFrame(rdd, schema).localCheckpoint(eager=False)
 
 
 class Comparison:
@@ -83,6 +89,8 @@ class Comparison:
                 raise ValueError(f"column {c} not in df_b")
         self.df_a = _with_row_id(df_a, id_a)
         self.df_b = _with_row_id(df_b, id_b)
+        self.id_a = id_a
+        self.id_b = id_b
         self.blocking_a = blocking_a
         self.blocking_b = blocking_b
         if blocking_a is not None:
@@ -233,8 +241,23 @@ class Linkage:
     simply matches nothing extra instead of reading Indices[-1]."""
 
     def __init__(self, df_a: DataFrame, df_b: DataFrame, comparison, ksi: np.ndarray):
-        self.df_a = comparison.df_a if df_a is None else _with_row_id(df_a, None)
-        self.df_b = comparison.df_b if df_b is None else _with_row_id(df_b, None)
+        # Passed frames must carry the SAME id columns the Comparison was
+        # built with, or pattern ids and row ids silently misalign; frames
+        # without them are rejected rather than re-derived positionally.
+        def bind(df, id_col, comp_df, side):
+            if df is None:
+                return comp_df
+            if id_col is None:
+                raise ValueError(
+                    f"Comparison assigned positional row ids to df_{side}; "
+                    f"pass df_{side}=None so Linkage reuses the same frame"
+                )
+            if id_col not in df.columns:
+                raise ValueError(f"df_{side} lacks the Comparison id column {id_col!r}")
+            return _with_row_id(df, id_col)
+
+        self.df_a = bind(df_a, getattr(comparison, "id_a", None), comparison.df_a, "a")
+        self.df_b = bind(df_b, getattr(comparison, "id_b", None), comparison.df_b, "b")
         self.patterns = comparison.patterns
         self.ksi = np.asarray(ksi, dtype=np.float64)
 

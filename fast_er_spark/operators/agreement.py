@@ -38,6 +38,7 @@ from ..patterns import strides
 
 __all__ = [
     "char_lsh_value_candidates",
+    "default_value_candidates",
     "scored_value_pairs",
     "fuzzy_levels_linkage",
     "fuzzy_levels_dedup",
@@ -54,12 +55,16 @@ def _jw_levels_udf(p: float, lower: float, upper: float):
         s = jw_batch(a, b, p)
         return pd.Series(((s >= lower).astype(int) + (s >= upper).astype(int)))
 
-    return jw_level
+    # jw_level IS deterministic, but the marker stops Catalyst substituting
+    # the UDF expression into both the level>0 Filter and the output Project
+    # — which evaluates the whole JW batch TWICE (two stacked
+    # ArrowEvalPython stages, verified in the formatted plan)
+    return jw_level.asNondeterministic()
 
 
 def char_lsh_value_candidates(
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     rows_per_band: int = 2,
     n: int = 2,
     seed: int = 42,
@@ -67,8 +72,9 @@ def char_lsh_value_candidates(
     """Candidate generator for `scored_value_pairs` at scale: char-bigram
     MinHash-LSH over the DISTINCT VALUES of the compared column, so the JW
     UDF only scores value pairs that plausibly clear the 0.88 band instead
-    of the full distinct cross product. (b=16, r=2) collides at >=0.97 for
-    char-bigram Jaccard 0.5 — generous for JW >= 0.88 names."""
+    of the full distinct cross product. (b=32, r=2) collides at 0.95+ for
+    char-bigram Jaccard 0.3 — short JW>=0.88 name pairs bottom out near
+    bigram Jaccard ~0.3, so per-pair recall stays >=0.99 there."""
     from .lsh import lsh_candidate_pairs
 
     def gen(vals_a: DataFrame, vals_b: DataFrame) -> DataFrame:
@@ -100,6 +106,43 @@ def char_lsh_value_candidates(
     return gen
 
 
+# pair-count ceiling for the reference-exact cross product of distinct
+# values; above it the default candidate generator switches to char-LSH
+# pruning — the exact cross is O(|uA|*|uB|) JW calls and is the one thing
+# that cannot survive a 100x cardinality scale-up. Sized to ~6 s of JW on
+# 32 cores (~5M pairs/s measured): below that, sketch overhead (signatures,
+# banding, bucket join) costs more than it saves — especially on
+# all-near-dup value sets where LSH prunes nothing.
+AUTO_LSH_PAIR_BUDGET = 32_000_000
+# JW UDF stage sizing: ~250k pairs/partition keeps tasks ~1-2 s on one core
+# without fanning a small cross into hundreds of tiny scheduled stages
+PAIRS_PER_PARTITION = 250_000
+
+
+def default_value_candidates(
+    vals_a: DataFrame,
+    vals_b: DataFrame,
+    triangular: bool = False,
+    pair_budget: int = AUTO_LSH_PAIR_BUDGET,
+) -> DataFrame:
+    """Adaptive candidate frame (val_a, val_b) for fuzzy scoring.
+
+    Counts the distinct-value frames; at or under ``pair_budget`` implied
+    pairs it emits the reference-exact cross product with the JW stage
+    partitioned to PAIRS_PER_PARTITION (small side broadcast, so the
+    cartesian never multiplies partition counts); above it, char-bigram
+    MinHash-LSH pruning (the scale path — candidate count is O(near-dups),
+    not O(|uA|*|uB|)). ``triangular=True`` keeps only val_a < val_b
+    (dedup scores each unordered value pair once)."""
+    na, nb = vals_a.count(), vals_b.count()
+    if na * nb > pair_budget:
+        cand = char_lsh_value_candidates()(vals_a, vals_b)
+    else:
+        n_part = max(1, -(-(na * nb) // PAIRS_PER_PARTITION))
+        cand = vals_a.repartition(n_part).crossJoin(F.broadcast(vals_b))
+    return cand.where(F.col("val_a") < F.col("val_b")) if triangular else cand
+
+
 def scored_value_pairs(
     vals_a: DataFrame,
     vals_b: DataFrame,
@@ -107,21 +150,21 @@ def scored_value_pairs(
     lower: float,
     upper: float,
     candidates: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
+    triangular: bool = False,
 ) -> DataFrame:
     """(val_a, val_b, level) for level > 0, over distinct value frames.
 
-    ``candidates`` maps (vals_a, vals_b) -> DataFrame(val_a, val_b); default
-    is the full cross product of distincts (reference-exact, test scale);
-    pass ``char_lsh_value_candidates()`` for the sketch-pruned scale path.
+    ``candidates`` maps (vals_a, vals_b) -> DataFrame(val_a, val_b); the
+    default is adaptive (``default_value_candidates``): reference-exact
+    cross product under AUTO_LSH_PAIR_BUDGET implied pairs, char-LSH
+    pruning above it.
     """
     if candidates is None:
-        # cartesian partitioning is |parts_a| x |parts_b|: coalesce first or
-        # a 5k-pair cross of distinct values fans into hundreds of tiny
-        # UDF tasks (exact path is reference-parity / test scale only —
-        # production scale uses an LSH candidate generator)
-        cand = vals_a.coalesce(4).crossJoin(vals_b.coalesce(4))
+        cand = default_value_candidates(vals_a, vals_b, triangular)
     else:
         cand = candidates(vals_a, vals_b)
+        if triangular:
+            cand = cand.where(F.col("val_a") < F.col("val_b"))
     lvl = _jw_levels_udf(p, lower, upper)
     return (
         cand.withColumn("level", lvl(F.col("val_a"), F.col("val_b")))
@@ -188,13 +231,7 @@ def fuzzy_levels_dedup(
     # different-value candidates: unordered value pairs (val_a < val_b),
     # each scored exactly once (JW is symmetric)
     vals_b = vals.select(F.col("val_a").alias("val_b"))
-    if candidates is None:
-        cand = vals.coalesce(4).crossJoin(vals_b.coalesce(4)).where(
-            F.col("val_a") < F.col("val_b")
-        )
-    else:
-        cand = candidates(vals, vals_b).where(F.col("val_a") < F.col("val_b"))
-    matched = scored_value_pairs(vals, vals_b, p, lower, upper, lambda *_: cand)
+    matched = scored_value_pairs(vals, vals_b, p, lower, upper, candidates, triangular=True)
 
     bl = ["__block"] if block else []
     rows = df.select(F.col(id_col), F.col(col).cast("string").alias("val"), *bl)

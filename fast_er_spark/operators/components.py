@@ -29,10 +29,13 @@ def _bidir(e: DataFrame) -> DataFrame:
     return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, n_part: int) -> DataFrame:
     # no trailing distinct: duplicate edges are tolerated for one round and
-    # collapsed by small_star's distinct — saves a shuffle per round
-    bidir = _bidir(e)
+    # collapsed by small_star's distinct — saves a shuffle per round.
+    # Parallelism is pinned per-frame (repartition on the node key), NOT via
+    # the session-global shuffle.partitions conf, so concurrent queries on
+    # the same SparkSession are unaffected (round-1 ADVICE).
+    bidir = _bidir(e).repartition(n_part, "u")
     mins = bidir.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
     return (
         bidir.join(mins, "u")
@@ -42,17 +45,22 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, n_part: int) -> DataFrame:
+    # partition on u alone: HashPartitioning(u) satisfies the (u, v)
+    # clustering needed by distinct() AND the u clustering of the groupBy
+    # and join, so the whole step runs on ONE exchange at n_part
     ee = (
         e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .where(F.col("u") != F.col("v"))
+        .repartition(n_part, "u")
         .distinct()
     )
     mins = ee.groupBy("u").agg(F.min("v").alias("m"))  # all v < u here
     moved = ee.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
     self_edge = mins.select(F.col("u"), F.col("m").alias("v"))
     return (
-        moved.unionByName(self_edge).where(F.col("u") != F.col("v")).distinct()
+        moved.unionByName(self_edge).where(F.col("u") != F.col("v"))
+        .repartition(n_part, "u").distinct()
     )
 
 
@@ -93,17 +101,13 @@ def connected_components(
     spark = e.sparkSession
     session_parallelism = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     n_part = max(1, min(session_parallelism, (n_edges // rows_per_partition) + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_part))
-    try:
-        return _cc_iterate(e, nodes, id_col, max_iter)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(session_parallelism))
+    return _cc_iterate(e, nodes, id_col, max_iter, n_part)
 
 
-def _cc_iterate(e: DataFrame, nodes, id_col: str, max_iter: int) -> DataFrame:
+def _cc_iterate(e: DataFrame, nodes, id_col: str, max_iter: int, n_part: int) -> DataFrame:
     prev = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e, n_part), n_part).localCheckpoint(eager=True)
         cur = _checksum(e)
         if cur == prev:
             break

@@ -13,11 +13,18 @@ stay explicit, per BASELINE.json north_rule:
 - ONE shuffle keyed on (band, band_hash) gathers bucket members (hash agg,
   no sort); pairs are emitted by a JVM array expression — no self-join;
 - hot buckets (Zipf-skewed duplicate clusters) are capped: buckets larger
-  than ``max_bucket_size`` emit a star (every member -> bucket min) instead
-  of the quadratic clique. A star keeps cluster connectivity intact (the
-  connected-components stage reattaches everything) while bounding pair
-  fan-out to O(bucket), which is the salting-equivalent guard AQE cannot do
-  for a logical key.
+  than ``max_bucket_size`` emit a bounded multi-probe star (every member ->
+  each of the first ``star_pivots`` members) instead of the quadratic
+  clique, bounding pair fan-out to O(star_pivots * bucket) — the
+  salting-equivalent guard AQE cannot do for a logical key.
+
+RECALL CAVEAT (round-1 ADVICE): star edges only keep a hot-bucket member
+connected if it survives DOWNSTREAM VERIFICATION against a pivot. A hot
+bucket that mixes distinct clusters can therefore silently drop members
+whose own cluster has no pivot. Multi-probe (star_pivots=3 default) bounds
+that risk — a member stays connected unless it fails verification against
+ALL pivots — but does not eliminate it; count verification-dropped star
+edges when tuning max_bucket_size (a cheap anti-join on the verified stage).
 
 Tuning: collision probability for Jaccard j is 1 - (1 - j^r)^b with b bands
 of r rows. Defaults (b=32, r=4, 128 perms) give P(candidate) > 0.9999 at
@@ -87,6 +94,7 @@ def lsh_candidate_pairs(
     seed: int = 42,
     max_bucket_size: int = 2000,
     num_partitions: int | None = None,
+    star_pivots: int = 3,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a > id_b), deduplicated across
     bands. Rows with empty text are excluded (nothing to match)."""
@@ -116,8 +124,10 @@ def lsh_candidate_pairs(
 
     ids = F.col("ids")
     # full clique for normal buckets (ids ascending: (ids[j>i], ids[i]) has
-    # id_a > id_b); star to the bucket min for hot buckets — the
-    # salting-equivalent skew guard: bounded fan-out, connectivity kept
+    # id_a > id_b); bounded multi-probe star for hot buckets — every member
+    # pairs with the first star_pivots members, so fan-out is
+    # O(star_pivots * bucket) and a member only loses connectivity if it
+    # fails verification against ALL pivots (see module RECALL CAVEAT)
     clique_array = F.flatten(
         F.transform(
             ids,
@@ -127,9 +137,14 @@ def lsh_candidate_pairs(
             ),
         )
     )
-    star_array = F.transform(
-        F.slice(ids, 2, 2_147_483_647),
-        lambda y: F.struct(y.alias("id_a"), F.element_at(ids, 1).alias("id_b")),
+    star_array = F.flatten(
+        F.transform(
+            F.slice(ids, 1, star_pivots),
+            lambda piv, pi: F.transform(
+                F.slice(ids, pi + 2, F.size(ids)),
+                lambda y: F.struct(y.alias("id_a"), piv.alias("id_b")),
+            ),
+        )
     )
     pairs = buckets.select(
         F.explode(

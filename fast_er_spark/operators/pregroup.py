@@ -35,17 +35,33 @@ def pregroup_exact(
 ) -> tuple[DataFrame, DataFrame]:
     """(representatives, exact_edges).
 
-    representatives: (id, text) — one row per distinct text (min id wins).
+    representatives: (id, text) — one row per distinct non-blank text (min id
+    wins) plus every null/blank-text row passed through untouched.
     exact_edges: (id_a, id_b) with id_a the member, id_b its representative
     (id_a > id_b by construction).
+
+    Null/blank texts are NEVER grouped: the base (non-pregrouped) pipeline
+    leaves them as singletons (LSH drops blank text, verification requires a
+    non-empty shingle union), so linking them here would break the
+    cluster-identity contract — on real web corpora every failed extraction
+    is a null text. The grouping key is the TEXT VALUE itself; the 64-bit
+    fingerprint is only the shuffle key (window partition), so two distinct
+    texts that collide in xxhash64 — expected at billion-doc scale — land in
+    the same partition but never in the same group.
     """
-    w = Window.partitionBy("__fp")
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    blank = F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)
+    passthrough = base.where(blank)
+    w = Window.partitionBy("__fp", "text")
     tagged = (
-        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        base.where(~blank)
         .withColumn("__fp", F.xxhash64("text"))
         .withColumn("__rep", F.min("id").over(w))
     )
-    reps = tagged.where(F.col("id") == F.col("__rep")).select("id", "text")
+    reps = (
+        tagged.where(F.col("id") == F.col("__rep")).select("id", "text")
+        .unionByName(passthrough)
+    )
     exact_edges = (
         tagged.where(F.col("id") != F.col("__rep"))
         .select(F.col("id").alias("id_a"), F.col("__rep").alias("id_b"))

@@ -24,11 +24,13 @@ for web-page text columns this JVM form wins (stays in codegen).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-__all__ = ["doc_anchors", "anchor_pairs"]
+__all__ = ["doc_anchors", "anchor_pairs", "lcs_len", "verify_anchor_pairs"]
 
 
 def doc_anchors(
@@ -110,3 +112,101 @@ def anchor_pairs(
         .select(F.col("id").alias("id_a"), F.col("amin").alias("id_b"))
     )
     return clique.select("id_a", "id_b").unionByName(star).dropDuplicates(["id_a", "id_b"])
+
+
+def lcs_len(a: str, b: str, cap: int | None = None) -> int:
+    """Longest common substring length via a suffix automaton of the shorter
+    string — O(|a| + |b|), so verification stays in the same cost class as
+    the candidate's Jaccard check (linear in page size). ``cap`` short-
+    circuits as soon as a span of that length is found (the verifier only
+    needs span >= min_span, not the exact maximum)."""
+    if not a or not b:
+        return 0
+    if len(a) > len(b):
+        a, b = b, a
+    nxt: list[dict] = [{}]
+    link = [-1]
+    ln = [0]
+    last = 0
+    for ch in a:
+        cur = len(ln)
+        nxt.append({})
+        link.append(0)
+        ln.append(ln[last] + 1)
+        p = last
+        while p != -1 and ch not in nxt[p]:
+            nxt[p][ch] = cur
+            p = link[p]
+        if p != -1:
+            q = nxt[p][ch]
+            if ln[p] + 1 == ln[q]:
+                link[cur] = q
+            else:
+                clone = len(ln)
+                nxt.append(dict(nxt[q]))
+                link.append(link[q])
+                ln.append(ln[p] + 1)
+                while p != -1 and nxt[p].get(ch) == q:
+                    nxt[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    best = cur_len = 0
+    v = 0
+    for ch in b:
+        while v and ch not in nxt[v]:
+            v = link[v]
+            cur_len = ln[v]
+        if ch in nxt[v]:
+            v = nxt[v][ch]
+            cur_len += 1
+            if cur_len > best:
+                best = cur_len
+                if cap is not None and best >= cap:
+                    return best
+        else:
+            v = 0
+            cur_len = 0
+    return best
+
+
+def verify_anchor_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_span: int = 96,
+) -> DataFrame:
+    """Keep anchor-candidate pairs whose texts REALLY share a span of at
+    least ``min_span`` chars (exact longest-common-substring check).
+
+    Anchor collision is candidate evidence only: one shared 32-char
+    boilerplate sentence below the frequency cap would otherwise merge two
+    unrelated pages into one cluster (round-1 VERDICT 'What's wrong' #5).
+    Verification is per-candidate (Arrow-batched, linear in page size) —
+    the same sketch-then-verify contract as the Jaccard path.
+
+    Returns (id_a, id_b, span_len) with span_len capped at min_span (the
+    automaton short-circuits once the threshold is reached).
+    """
+
+    @F.pandas_udf(T.IntegerType())
+    def span(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                0 if x is None or y is None else lcs_len(x, y, cap=min_span)
+                for x, y in zip(a, b)
+            ]
+        )
+
+    t = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    a = t.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"))
+    b = t.select(F.col("id").alias("id_b"), F.col("t").alias("t_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("span_len", span(F.col("t_a"), F.col("t_b")))
+        .where(F.col("span_len") >= F.lit(min_span))
+        .select("id_a", "id_b", "span_len")
+    )

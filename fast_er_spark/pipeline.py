@@ -32,7 +32,7 @@ from .functions.extract import extract_text_udf
 from .operators.components import connected_components
 from .operators.lsh import lsh_candidate_pairs
 from .operators.pregroup import pregroup_exact
-from .operators.substring import anchor_pairs
+from .operators.substring import anchor_pairs, verify_anchor_pairs
 from .operators.verify import verify_pairs_jaccard
 
 __all__ = ["DedupConfig", "DedupPipeline"]
@@ -54,6 +54,10 @@ class DedupConfig:
     substring_pass: bool = True
     anchor_len: int = 32
     anchor_density: int = 8
+    # anchor candidates only become edges after an exact longest-common-
+    # substring check >= this many chars (one shared boilerplate sentence
+    # must NOT merge two unrelated pages); 0 disables verification
+    substring_min_span: int = 96
     num_partitions: int | None = None
     # collapse byte-identical texts before the sketch path (operators/
     # pregroup.py): same cluster assignments, pair list star-compressed
@@ -81,7 +85,10 @@ class DedupPipeline:
     re-runs with the same config fingerprint (resume-from-checkpoint).
     """
 
-    STAGES = ("input", "candidates", "verified", "substring_edges", "edges", "clusters")
+    STAGES = (
+        "input", "candidates", "verified", "substring_edges",
+        "substring_verified", "edges", "clusters",
+    )
 
     def __init__(
         self,
@@ -155,12 +162,11 @@ class DedupPipeline:
         docs = self._run_stage("input", build_input, resume)
 
         if c.pregroup_exact:
-            sketch_docs = self._run_stage(
-                "pregroup_reps", lambda: pregroup_exact(docs, "id", "text")[0], resume
-            )
-            exact_edges = self._run_stage(
-                "pregroup_edges", lambda: pregroup_exact(docs, "id", "text")[1], resume
-            )
+            # build the (reps, edges) pair ONCE; the two stage closures share
+            # it lazily so the fingerprint window shuffle runs a single time
+            pre = pregroup_exact(docs, "id", "text")
+            sketch_docs = self._run_stage("pregroup_reps", lambda: pre[0], resume)
+            exact_edges = self._run_stage("pregroup_edges", lambda: pre[1], resume)
         else:
             sketch_docs, exact_edges = docs, None
 
@@ -193,6 +199,16 @@ class DedupPipeline:
                 ),
                 resume,
             )
+            if c.substring_min_span > 0:
+                # anchor collisions are candidates, not edges: only pairs
+                # with an exact shared span >= min_span may merge clusters
+                sub = self._run_stage(
+                    "substring_verified",
+                    lambda: verify_anchor_pairs(
+                        sub, sketch_docs, "id", "text", min_span=c.substring_min_span
+                    ),
+                    resume,
+                )
             edge_frames.append(sub.select("id_a", "id_b"))
         if exact_edges is not None:
             edge_frames.append(exact_edges.select("id_a", "id_b"))

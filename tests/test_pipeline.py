@@ -85,10 +85,29 @@ def test_pipeline_end_to_end_and_resume(spark, corpus):
 
 def test_pregroup_same_clusters(spark, corpus):
     """Exact-dup pregrouping must not change cluster assignments — only the
-    work done (sketch stages run over representatives)."""
+    work done (sketch stages run over representatives). Includes null /
+    empty / whitespace texts (failed extractions on real corpora): the base
+    path leaves them as singletons, so pregrouping must NOT link them."""
+    import datetime as dt
+
+    from fixtures.synth import render_html
+
     from fast_er_spark.pipeline import DedupConfig, DedupPipeline
 
     rows, df = corpus
+    ts = dt.datetime(2024, 1, 1)
+    degenerate = spark.createDataFrame(
+        [
+            (900001, "u/null1", ts, None, None, "en"),
+            (900002, "u/null2", ts, None, None, "en"),
+            (900003, "u/empty1", ts, bytearray(render_html("")), "", "en"),
+            (900004, "u/empty2", ts, bytearray(render_html("")), "", "en"),
+            (900005, "u/ws1", ts, bytearray(render_html("   ")), "   ", "en"),
+            (900006, "u/ws2", ts, bytearray(render_html("   ")), "   ", "en"),
+        ],
+        "doc_id long, url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    df = df.unionByName(degenerate)
     wd1 = tempfile.mkdtemp(prefix="dedup_nopre_")
     wd2 = tempfile.mkdtemp(prefix="dedup_pre_")
     try:
@@ -100,6 +119,9 @@ def test_pregroup_same_clusters(spark, corpus):
         )
         pre = {(int(r.id), int(r.component)) for r in pre_pipe.run(df).collect()}
         assert pre == base
+        # every degenerate-text doc stayed a singleton in both pipelines
+        for d in range(900001, 900007):
+            assert (d, d) in base
         # the pregroup stages actually ran and shrank the sketch input
         stages = {s.name: s.rows for s in pre_pipe.results}
         assert "pregroup_reps" in stages and "pregroup_edges" in stages
@@ -262,3 +284,44 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample(vids, "doc_id", every_ms=1000)
     per = frames.groupBy("id").count().collect()
     assert all(r["count"] == 4 for r in per)  # 0,1000,2000,3000
+
+
+def test_boilerplate_sentence_does_not_merge_clusters(spark, tmp_path):
+    """One shared boilerplate sentence (> anchor_len, < min_span) must stay a
+    CANDIDATE and be dropped by span verification; a true containment pair
+    (full doc embedded) must still merge (round-1 VERDICT wrong #5)."""
+    import random
+
+    from fixtures.synth import VOCAB
+
+    from fast_er_spark.operators.substring import anchor_pairs
+    from fast_er_spark.pipeline import DedupConfig, DedupPipeline
+
+    rng = random.Random(5)
+    boiler = "all rights reserved contact the webmaster for licensing and reprint permissions"
+    assert 32 < len(boiler) < 96
+    mk = lambda k: " ".join(rng.choice(VOCAB) for _ in range(k))
+    doc_a = mk(60) + " " + boiler
+    doc_b = boiler + " " + mk(60)
+    root = mk(40)
+    assert len(root) >= 96
+    doc_d = mk(10) + " " + root + " " + mk(10)
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b), (2, root), (3, doc_d)], "doc_id long, text string"
+    )
+
+    # the boilerplate pair IS an anchor candidate (otherwise this test
+    # proves nothing about verification)
+    cand = {
+        (r.id_a, r.id_b)
+        for r in anchor_pairs(
+            df.selectExpr("doc_id as id", "text"), "id", "text",
+            anchor_len=32, density=8,
+        ).collect()
+    }
+    assert (1, 0) in cand, cand
+
+    pipe = DedupPipeline(spark, str(tmp_path / "wd"), DedupConfig())
+    got = {int(r.id): int(r.component) for r in pipe.run(df).collect()}
+    assert got[0] != got[1], got   # boilerplate: verified span < 96 -> no merge
+    assert got[2] == got[3], got   # containment: span = len(root) >= 96 -> merge
