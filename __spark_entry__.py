@@ -188,6 +188,37 @@ def q_fs_posteriors(spark, sf_dir):
     return spark.createDataFrame(rows, "pattern_id long, ksi double")
 
 
+def q_linkage_transform(spark, sf_dir):
+    """The reference's actual output surface (linkage.py:26-72): EM-weighted
+    matched pairs with suffixed columns + Index_A/Index_B, on an even/odd
+    supplier split with two exact variables. EM is deterministic (seed 13):
+    at sf>=0.01 the admitted patterns at threshold 0.5 are exactly
+    {balband-agrees} (ksi ~0.82/0.85 vs ~0.003), so the DuckDB twin can
+    express the transform as the balband equi-join. The ksi column itself is
+    engine-defined (EM float) and excluded from the compared output."""
+    from fast_er_spark.linkage import Comparison, Estimation, Linkage
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        "s_name",
+        F.col("s_nationkey").cast("string").alias("nat"),
+        F.floor(F.col("s_acctbal") / 1000).cast("string").alias("balband"),
+    )
+    a = sup.where(F.col("id") % 2 == 0)
+    b = sup.where(F.col("id") % 2 == 1)
+    comp = Comparison(
+        a, b, [], [], ["nat", "balband"], ["nat", "balband"], id_a="id", id_b="id"
+    ).fit()
+    est = Estimation(0, 2, comp.counts(), seed=13).fit()
+    out = Linkage(None, None, comp, est.ksi).transform(0.5)
+    return out.select(
+        F.col("Index_A").cast("long").alias("index_a"),
+        F.col("Index_B").cast("long").alias("index_b"),
+        "s_name_A",
+        "s_name_B",
+    )
+
+
 # ------------------------------------------------------- text analysis ops
 def q_tokenstats(spark, sf_dir):
     from fast_er_spark.functions.text import distinct_token_count, token_count
@@ -499,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_pattern_counts": q_fs_pattern_counts,
         "fuzzy_jw_supplier": q_fuzzy_jw_supplier,
         "fs_posteriors": q_fs_posteriors,
+        "linkage_transform": q_linkage_transform,
         "tokenstats": q_tokenstats,
         "quality_scores": q_quality_scores,
         "doc_fingerprint": q_doc_fingerprint,
@@ -638,6 +670,17 @@ UNION ALL
 SELECT CAST(0 AS BIGINT),
        CAST((SELECT count(*) * (count(*) + 1) // 2 FROM s)
           - (SELECT COALESCE(sum(cnt), 0) FROM nonzero) AS BIGINT)
+"""
+    sqls["linkage_transform"] = """
+WITH sup AS (
+  SELECT s_suppkey AS id, s_name,
+         CAST(CAST(floor(s_acctbal / 1000) AS BIGINT) AS VARCHAR) AS balband
+  FROM supplier
+)
+SELECT CAST(a.id AS BIGINT) AS index_a, CAST(b.id AS BIGINT) AS index_b,
+       a.s_name AS "s_name_A", b.s_name AS "s_name_B"
+FROM sup a JOIN sup b
+  ON a.id % 2 = 0 AND b.id % 2 = 1 AND a.balband = b.balband
 """
     sqls["tokenstats"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

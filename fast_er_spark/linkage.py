@@ -265,21 +265,28 @@ class Linkage:
         spark = self.patterns.sparkSession
         ksi_rows = [(int(i), float(v)) for i, v in enumerate(self.ksi)]
         ksi_df = spark.createDataFrame(ksi_rows, "pattern_id long, ksi double")
+        # join keys get throwaway names: a post-join rename of id_a would
+        # case-insensitively hit a user column suffixed to id_A (a table with
+        # an 'id' column) and produce two Index_A columns
         matched = (
             self.patterns.join(F.broadcast(ksi_df), "pattern_id")
             .where(F.col("ksi") >= F.lit(threshold))
-            .select("id_a", "id_b", "ksi")
+            .select(
+                F.col("id_a").alias("Index_A"),
+                F.col("id_b").alias("Index_B"),
+                "ksi",
+            )
         )
         a = self.df_a.select(
-            F.col(_ROW_ID).alias("id_a"),
+            F.col(_ROW_ID).alias("__jka"),
             *[F.col(c).alias(f"{c}_A") for c in self.df_a.columns if c != _ROW_ID],
         )
         b = self.df_b.select(
-            F.col(_ROW_ID).alias("id_b"),
+            F.col(_ROW_ID).alias("__jkb"),
             *[F.col(c).alias(f"{c}_B") for c in self.df_b.columns if c != _ROW_ID],
         )
         return (
-            matched.join(a, "id_a")
-            .join(b, "id_b")
-            .withColumnsRenamed({"id_a": "Index_A", "id_b": "Index_B"})
+            matched.join(a, matched["Index_A"] == a["__jka"])
+            .join(b, matched["Index_B"] == b["__jkb"])
+            .drop("__jka", "__jkb")
         )
