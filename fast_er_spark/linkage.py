@@ -37,7 +37,7 @@ from .operators.agreement import (
     fuzzy_levels_linkage,
     pattern_counts,
 )
-from .patterns import counts_with_complement
+from .patterns import counts_with_complement, strides
 
 __all__ = ["Comparison", "Deduplication", "Linkage", "Estimation"]
 
@@ -54,9 +54,17 @@ def _with_row_id(df: DataFrame, order_col: str | None) -> DataFrame:
     localCheckpointed so every downstream action sees the same ids."""
     if order_col is not None:
         return df.withColumn(_ROW_ID, F.col(order_col).cast("long"))
-    schema = df.schema.add(_ROW_ID, T.LongType(), False)
+    # fresh StructType: StructType.add mutates in place, and df.schema is a
+    # cached object — mutating it corrupts the source frame for later callers
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(_ROW_ID, T.LongType(), False)]
+    )
     rdd = df.rdd.zipWithIndex().map(lambda t: tuple(t[0]) + (t[1],))
-    return df.sparkSession.createDataFrame(rdd, schema).localCheckpoint(eager=False)
+    # EAGER: one Python pass materializes the ids; lazy checkpointing here
+    # re-ran the Python RDD (plus a doCheckpoint job) after every downstream
+    # action — measured 5 minutes of redundant jobs in Comparison.fit at
+    # 100k x 100k
+    return df.sparkSession.createDataFrame(rdd, schema).localCheckpoint(eager=True)
 
 
 class Comparison:
@@ -104,6 +112,8 @@ class Comparison:
         self.k_exact = len(vars_exact_a)
         self.patterns: DataFrame | None = None
         self._counts: np.ndarray | None = None
+        self._sparse: DataFrame | None = None
+        self._ab: tuple[DataFrame, DataFrame] | None = None
 
     def fit(
         self,
@@ -111,7 +121,17 @@ class Comparison:
         lower_thr: float = 0.88,
         upper_thr: float = 0.94,
         candidates=None,
+        exact_sparse: bool = True,
     ) -> "Comparison":
+        """``exact_sparse`` (default): materialize per-pair patterns ONLY for
+        pairs with at least one fuzzy agreement; exact-variable agreement is
+        attached to those pairs by per-pair lookup, and pairs agreeing only
+        on exact variables are counted ANALYTICALLY (inclusion-exclusion
+        over value frequencies, see counts()). Low-cardinality exact
+        variables (birth_year: 66 values) otherwise dominate everything:
+        at 100k x 100k they alone contribute ~1.5e8 materialized pair rows
+        (~65% of the union+groupBy shuffle) whose posteriors are ~0 anyway.
+        Set False (or use blocking) for the dense reference-shaped path."""
         if self.patterns is not None:
             raise RuntimeError("already fitted")
         blk = self.blocking_a is not None
@@ -122,26 +142,169 @@ class Comparison:
         b = self.df_b.select(
             F.col(_ROW_ID).alias("id_b"), *self.vars_fuzzy_b, *self.vars_exact_b, *bl
         )
-        frames = []
+        self._ab = (a, b)
+        fuzzy_frames = []
         for ca, cb in zip(self.vars_fuzzy_a, self.vars_fuzzy_b):
-            frames.append(
+            fuzzy_frames.append(
                 fuzzy_levels_linkage(
                     a, b, ca, cb, "id_a", "id_b", p, lower_thr, upper_thr,
                     candidates, block=blk,
                 )
             )
+        if exact_sparse and self.k_fuzzy >= 1 and self.k_exact >= 1 and not blk:
+            self._fit_sparse(a, b, fuzzy_frames)
+            return self
+        frames = list(fuzzy_frames)
         for ca, cb in zip(self.vars_exact_a, self.vars_exact_b):
             frames.append(
                 exact_levels_linkage(a, b, ca, cb, "id_a", "id_b", block=blk)
             )
-        self.patterns = assemble_patterns(frames, self.k_fuzzy, self.k_exact)
+        # materialize on first action: counts() and Linkage.transform both
+        # consume patterns, and without a checkpoint the whole JW/join DAG
+        # re-executes per consumer (measured ~2x wall on the reference
+        # 100k x 100k workload)
+        self.patterns = assemble_patterns(
+            frames, self.k_fuzzy, self.k_exact
+        ).localCheckpoint(eager=False)
         return self
+
+    # ------------------------------------------------- sparse-exact engine
+    def _fit_sparse(self, a: DataFrame, b: DataFrame, fuzzy_frames) -> None:
+        st = strides(self.k_fuzzy, self.k_exact)
+        contribs = [
+            f.select("id_a", "id_b", (F.col("level") * F.lit(s)).alias("contrib"))
+            for f, s in zip(fuzzy_frames, st[: self.k_fuzzy])
+        ]
+        u = contribs[0]
+        for c in contribs[1:]:
+            u = u.unionByName(c)
+        sparse = u.groupBy("id_a", "id_b").agg(F.sum("contrib").cast("long").alias("__fz"))
+        # exact agreement is a per-pair LOOKUP on the (small-per-pair) sparse
+        # frame — two equi-joins per exact variable against the id->value
+        # projections, never a pair-materializing self-join
+        exact_expr = F.lit(0).cast("long")
+        for idx, (ca, cb) in enumerate(zip(self.vars_exact_a, self.vars_exact_b)):
+            s = st[self.k_fuzzy + idx]
+            va = a.select("id_a", F.col(ca).cast("string").alias(f"__ea{idx}"))
+            vb = b.select("id_b", F.col(cb).cast("string").alias(f"__eb{idx}"))
+            sparse = sparse.join(va, "id_a").join(vb, "id_b")
+            exact_expr = exact_expr + F.when(
+                F.col(f"__ea{idx}") == F.col(f"__eb{idx}"), F.lit(s).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        sparse = sparse.select(
+            "id_a", "id_b", (F.col("__fz") + exact_expr).alias("pattern_id")
+        )
+        self._sparse = sparse.localCheckpoint(eager=False)
+        # full reference surface: sparse pairs + lazily-derived exact-only
+        # pairs. Heavy only if somebody materializes ALL patterns — counts()
+        # and transform() never do.
+        self.patterns = self._sparse.unionByName(self._exact_only_patterns())
+
+    def _exact_only_patterns(self) -> DataFrame:
+        """(id_a, id_b, pattern_id) for pairs agreeing on >=1 exact variable
+        and NO fuzzy variable — the heavy frame the sparse path avoids
+        materializing; built on demand (API parity / admitted exact-only
+        patterns)."""
+        a, b = self._ab
+        st = strides(self.k_fuzzy, self.k_exact)
+        frames = [
+            exact_levels_linkage(a, b, ca, cb, "id_a", "id_b").select(
+                "id_a", "id_b", (F.col("level") * F.lit(st[self.k_fuzzy + i])).alias("contrib")
+            )
+            for i, (ca, cb) in enumerate(zip(self.vars_exact_a, self.vars_exact_b))
+        ]
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        allex = u.groupBy("id_a", "id_b").agg(
+            F.sum("contrib").cast("long").alias("pattern_id")
+        )
+        return allex.join(
+            self._sparse.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+        )
+
+    def _exact_joint_counts(self) -> dict[int, int]:
+        """Exact-pattern histogram over ALL pairs, computed WITHOUT pair
+        materialization: for every non-empty subset S of exact variables,
+        N>=(S) = sum over joint non-null values of cntA*cntB (pairs agreeing
+        on at least S), then Moebius inversion gives pairs agreeing on
+        exactly the subset e. Costs 2^k_exact small aggregations."""
+        from itertools import combinations
+
+        a, b = self._ab
+        k = self.k_exact
+        n_ge: dict[int, int] = {}
+        for r in range(1, k + 1):
+            for subset in combinations(range(k), r):
+                mask = sum(1 << (k - 1 - i) for i in subset)
+                ca = [self.vars_exact_a[i] for i in subset]
+                cb = [self.vars_exact_b[i] for i in subset]
+                fa = a.select(*[F.col(c).cast("string").alias(f"v{j}") for j, c in enumerate(ca)])
+                fb = b.select(*[F.col(c).cast("string").alias(f"v{j}") for j, c in enumerate(cb)])
+                for j in range(len(subset)):
+                    fa = fa.where(F.col(f"v{j}").isNotNull())
+                    fb = fb.where(F.col(f"v{j}").isNotNull())
+                ga = fa.groupBy(*[f"v{j}" for j in range(len(subset))]).agg(
+                    F.count(F.lit(1)).alias("na")
+                )
+                gb = fb.groupBy(*[f"v{j}" for j in range(len(subset))]).agg(
+                    F.count(F.lit(1)).alias("nb")
+                )
+                row = ga.join(gb, [f"v{j}" for j in range(len(subset))]).agg(
+                    F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("t")
+                ).collect()[0]
+                n_ge[mask] = int(row["t"])
+        exact_counts: dict[int, int] = {}
+        for e in range(1, 2**k):
+            total = 0
+            for t in range(e, 2**k):
+                if (t & e) == e:  # t is a superset of e
+                    total += (-1) ** (bin(t).count("1") - bin(e).count("1")) * n_ge[t]
+            exact_counts[e] = total
+        return exact_counts
+
+    def matched_pairs(self, pids: list[int]) -> DataFrame:
+        """(id_a, id_b, pattern_id) restricted to the given pattern ids —
+        the sparse engine serves fuzzy-bearing patterns from the
+        materialized sparse frame and only builds the heavy exact-only frame
+        when an exact-only pattern is actually admitted (ksi of a
+        no-fuzzy-agreement pattern is ~0 in practice)."""
+        pids = [int(x) for x in pids if int(x) != 0]
+        if self._sparse is None:
+            return self.patterns.where(F.col("pattern_id").isin(pids))
+        min_fuzzy = 2**self.k_exact
+        fuzzy_pids = [x for x in pids if x >= min_fuzzy]
+        exact_pids = [x for x in pids if x < min_fuzzy]
+        out = self._sparse.where(F.col("pattern_id").isin(fuzzy_pids))
+        if exact_pids:
+            out = out.unionByName(
+                self._exact_only_patterns().where(F.col("pattern_id").isin(exact_pids))
+            )
+        return out
 
     def counts(self) -> np.ndarray:
         """Full pattern histogram incl. the complement row
         (comparison.py:732-748)."""
         if self.patterns is None:
             raise RuntimeError("fit() first")
+        if self._counts is None and self._sparse is not None:
+            observed = {
+                int(r["pattern_id"]): int(r["cnt"])
+                for r in pattern_counts(self._sparse).collect()
+            }
+            # exact-only patterns: analytical count = (pairs whose exact
+            # agreement vector is exactly e, any fuzzy) minus (sparse pairs
+            # whose exact bits are e) — no pair materialization
+            sparse_by_e: dict[int, int] = {}
+            for pid, c in observed.items():
+                e = pid % (2**self.k_exact)
+                sparse_by_e[e] = sparse_by_e.get(e, 0) + c
+            for e, total in self._exact_joint_counts().items():
+                observed[e] = total - sparse_by_e.get(e, 0)
+            total_a, total_b = self.df_a.count(), self.df_b.count()
+            self._counts = counts_with_complement(
+                observed, self.k_fuzzy, self.k_exact, total_a, total_b
+            )
         if self._counts is None:
             observed = {
                 int(r["pattern_id"]): int(r["cnt"])
@@ -217,7 +380,9 @@ class Deduplication:
             )
         for c in self.vars_exact:
             frames.append(exact_levels_dedup(d, c, "id"))
-        self.patterns = assemble_patterns(frames, self.k_fuzzy, self.k_exact)
+        self.patterns = assemble_patterns(
+            frames, self.k_fuzzy, self.k_exact
+        ).localCheckpoint(eager=False)
         return self
 
     def counts(self) -> np.ndarray:
@@ -259,23 +424,30 @@ class Linkage:
         self.df_a = bind(df_a, getattr(comparison, "id_a", None), comparison.df_a, "a")
         self.df_b = bind(df_b, getattr(comparison, "id_b", None), comparison.df_b, "b")
         self.patterns = comparison.patterns
+        self._comparison = comparison
         self.ksi = np.asarray(ksi, dtype=np.float64)
 
     def transform(self, threshold: float = 0.85) -> DataFrame:
         spark = self.patterns.sparkSession
         ksi_rows = [(int(i), float(v)) for i, v in enumerate(self.ksi)]
         ksi_df = spark.createDataFrame(ksi_rows, "pattern_id long, ksi double")
+        # admitted patterns are known driver-side (ksi is a local array), so
+        # the sparse engine can skip the exact-only pair frame entirely when
+        # no exact-only pattern clears the threshold
+        admitted = [
+            int(i) for i, v in enumerate(self.ksi) if v >= threshold and i != 0
+        ]
+        if self._comparison is not None and hasattr(self._comparison, "matched_pairs"):
+            base = self._comparison.matched_pairs(admitted)
+        else:
+            base = self.patterns.where(F.col("pattern_id").isin(admitted))
         # join keys get throwaway names: a post-join rename of id_a would
         # case-insensitively hit a user column suffixed to id_A (a table with
         # an 'id' column) and produce two Index_A columns
-        matched = (
-            self.patterns.join(F.broadcast(ksi_df), "pattern_id")
-            .where(F.col("ksi") >= F.lit(threshold))
-            .select(
-                F.col("id_a").alias("Index_A"),
-                F.col("id_b").alias("Index_B"),
-                "ksi",
-            )
+        matched = base.join(F.broadcast(ksi_df), "pattern_id").select(
+            F.col("id_a").alias("Index_A"),
+            F.col("id_b").alias("Index_B"),
+            "ksi",
         )
         a = self.df_a.select(
             F.col(_ROW_ID).alias("__jka"),

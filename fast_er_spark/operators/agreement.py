@@ -106,14 +106,16 @@ def char_lsh_value_candidates(
     return gen
 
 
-# pair-count ceiling for the reference-exact cross product of distinct
-# values; above it the default candidate generator switches to char-LSH
-# pruning — the exact cross is O(|uA|*|uB|) JW calls and is the one thing
-# that cannot survive a 100x cardinality scale-up. Sized to ~6 s of JW on
-# 32 cores (~5M pairs/s measured): below that, sketch overhead (signatures,
-# banding, bucket join) costs more than it saves — especially on
-# all-near-dup value sets where LSH prunes nothing.
-AUTO_LSH_PAIR_BUDGET = 32_000_000
+# per-core pair budget for the reference-exact cross product of distinct
+# values; the effective ceiling is budget_per_core * defaultParallelism
+# (an exact cross is embarrassingly parallel, so the pain threshold scales
+# with the cluster). Above it the default candidate generator switches to
+# char-LSH pruning — O(|uA|*|uB|) JW calls is the one thing that cannot
+# survive a 100x cardinality scale-up. 32M pairs/core ~ 80 s of the
+# bit-parallel JW kernel (~0.4M pairs/s/core measured); below that, sketch
+# overhead (signatures, banding, hot buckets) costs more than it saves —
+# especially on high-baseline-similarity value sets where LSH prunes little.
+AUTO_LSH_PAIRS_PER_CORE = 32_000_000
 # JW UDF stage sizing: ~250k pairs/partition keeps tasks ~1-2 s on one core
 # without fanning a small cross into hundreds of tiny scheduled stages
 PAIRS_PER_PARTITION = 250_000
@@ -123,7 +125,7 @@ def default_value_candidates(
     vals_a: DataFrame,
     vals_b: DataFrame,
     triangular: bool = False,
-    pair_budget: int = AUTO_LSH_PAIR_BUDGET,
+    pair_budget: int | None = None,
 ) -> DataFrame:
     """Adaptive candidate frame (val_a, val_b) for fuzzy scoring.
 
@@ -134,9 +136,31 @@ def default_value_candidates(
     MinHash-LSH pruning (the scale path — candidate count is O(near-dups),
     not O(|uA|*|uB|)). ``triangular=True`` keeps only val_a < val_b
     (dedup scores each unordered value pair once)."""
+    if pair_budget is None:
+        cores = vals_a.sparkSession.sparkContext.defaultParallelism
+        pair_budget = AUTO_LSH_PAIRS_PER_CORE * max(1, cores)
     na, nb = vals_a.count(), vals_b.count()
     if na * nb > pair_budget:
-        cand = char_lsh_value_candidates()(vals_a, vals_b)
+        # equal values are ALWAYS candidates via one hash equi-join: at
+        # corpus scale most true matches agree byte-exactly, and their
+        # recall must not depend on LSH bucketing (hot-bucket star caps can
+        # drop a non-pivot equal pair). LSH only has to find the typo tail.
+        eq = vals_a.join(
+            vals_b, F.col("val_a") == F.col("val_b"), "inner"
+        ).select("val_a", "val_b")
+        # explicit repartition before dedup: the numbered repartition is
+        # exempt from AQE partition coalescing, which otherwise squeezes the
+        # byte-small candidate frame into a handful of partitions and
+        # serializes the CPU-heavy JW stage right above it (measured: 10
+        # tasks on 32 cores at 100k x 100k)
+        sc = vals_a.sparkSession.sparkContext
+        cand = (
+            char_lsh_value_candidates()(vals_a, vals_b)
+            .unionByName(eq)
+            .repartition(2 * sc.defaultParallelism, "val_a", "val_b")
+            .dropDuplicates(["val_a", "val_b"])  # a pair scored twice would
+            # double its level contribution in assemble_patterns
+        )
     else:
         n_part = max(1, -(-(na * nb) // PAIRS_PER_PARTITION))
         cand = vals_a.repartition(n_part).crossJoin(F.broadcast(vals_b))
@@ -156,7 +180,7 @@ def scored_value_pairs(
 
     ``candidates`` maps (vals_a, vals_b) -> DataFrame(val_a, val_b); the
     default is adaptive (``default_value_candidates``): reference-exact
-    cross product under AUTO_LSH_PAIR_BUDGET implied pairs, char-LSH
+    cross product under the per-core pair budget, char-LSH
     pruning above it.
     """
     if candidates is None:

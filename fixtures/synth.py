@@ -15,7 +15,7 @@ from __future__ import annotations
 import datetime as dt
 import random
 
-__all__ = ["pages", "people", "render_html", "extract_text", "VOCAB"]
+__all__ = ["pages", "people", "voters", "render_html", "extract_text", "VOCAB"]
 
 VOCAB = (
     "the a of to and in for on with data web page site user time year world "
@@ -174,6 +174,67 @@ def people(n: int = 300, overlap: float = 0.5, seed: int = 42, typo_rate: float 
             c[f] = _typo(rng, c[f])
         rows_b.append(c)
     rows_b += [fresh(20_000 + i) for i in range(n - n_shared)]
+    rng.shuffle(rows_a)
+    rng.shuffle(rows_b)
+    return rows_a, rows_b
+
+
+_SYL = (
+    "son ber man ton vil gar mar lee ro da hal win ker ley ford "
+    "bur ham mont wood stone field brook clay ash thorn bell cro "
+    "dun fair glen hart kin lan mor nor oak pem quin rid sel tal"
+).split()
+
+
+def voters(n: int = 100_000, overlap: float = 0.5, seed: int = 42, typo_rate: float = 0.5):
+    """Reference-workload-shaped linkage tables at REALISTIC cardinality
+    (example/Example.ipynb cells 3-7: real NC voter files have tens of
+    thousands of distinct names, so per-variable agreement sets are sparse).
+    ``people()`` keeps its 10-name pools for small oracle tests; this
+    generator scales field cardinality with n so a 100k x 100k run has the
+    same density profile as the reference's published benchmark:
+    last ~ n/5 distinct, first ~ n/50, street ~ n/20, house ~ 10k,
+    birth_year 66. Same row schema + ncid ground truth as people()."""
+    rng = random.Random(seed)
+
+    def pool(size, k_syllables):
+        # never ask for more than ~60% of the combinatorial space or the
+        # rejection loop stalls (len(_SYL)**k possible values)
+        size = min(size, int(0.6 * len(_SYL) ** k_syllables))
+        out = set()
+        while len(out) < size:
+            out.add("".join(rng.choice(_SYL) for _ in range(k_syllables)))
+        return sorted(out)
+
+    lasts = pool(min(25_000, max(100, n // 5)), 3)
+    firsts = pool(min(2_500, max(50, n // 50)), 2)
+    streets = [
+        s + " " + sfx
+        for s in pool(min(2_000, max(50, n // 60)), 2)
+        for sfx in ("st", "ave", "rd")
+    ]
+
+    def fresh(ncid):
+        return {
+            "ncid": f"e{ncid}",
+            "last_name": rng.choice(lasts),
+            "first_name": rng.choice(firsts),
+            "house_number": str(rng.randint(1, 9999)),
+            "street_name": rng.choice(streets),
+            "birth_year": str(rng.randint(1940, 2005)),
+        }
+
+    n_shared = int(n * overlap)
+    shared = [fresh(i) for i in range(n_shared)]
+    rows_a = [dict(r) for r in shared] + [fresh(10_000_000 + i) for i in range(n - n_shared)]
+    rows_b = []
+    for r in shared:
+        c = dict(r)
+        if rng.random() < typo_rate:
+            f = rng.choice(["last_name", "first_name", "street_name"])
+            c[f] = _typo(rng, c[f])
+        rows_b.append(c)
+    rows_b += [fresh(20_000_000 + i) for i in range(n - n_shared)]
     rng.shuffle(rows_a)
     rng.shuffle(rows_b)
     return rows_a, rows_b

@@ -88,3 +88,50 @@ def test_properties(s1, s2):
     assert v == pytest.approx(w, abs=1e-12)  # symmetry
     assert 0.0 <= v <= 1.0  # range, given p <= 0.25
     assert not math.isnan(v)
+
+
+def test_bit_parallel_parity_with_scalar():
+    """jw_bits_batch / jw_batch must agree with the scalar reference kernel
+    bit for bit on adversarial inputs (tiny strings, repeats, NULs, high
+    bytes, shared prefixes, chunk boundaries)."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from fast_er_spark.functions.jw import (
+        jaro_winkler_bytes,
+        jw_batch,
+        jw_bits_batch,
+    )
+
+    rng = random.Random(11)
+    pools = [b"ab", b"abcde", bytes(range(97, 123)), b"aaaabbbb", bytes([1, 2, 255, 97])]
+    pairs = []
+    for _ in range(5000):
+        pool = rng.choice(pools)
+        pairs.append(
+            (
+                bytes(rng.choice(pool) for _ in range(rng.randint(0, 63))),
+                bytes(rng.choice(pool) for _ in range(rng.randint(0, 63))),
+            )
+        )
+    want = np.array([jaro_winkler_bytes(x, y) for x, y in pairs])
+    got = jw_bits_batch([x for x, _ in pairs], [y for _, y in pairs])
+    assert (np.abs(want - got) <= 1e-12).all()
+
+    svals = ["martha", None, "x" * 100, "abc", "héllo", "a\x00b", "", "a", "zz" * 31]
+    sp = [(x, y) for x in svals for y in svals]
+    got_s = jw_batch(
+        pd.Series([x for x, _ in sp], dtype=object),
+        pd.Series([y for _, y in sp], dtype=object),
+    ).to_numpy()
+    want_s = np.array(
+        [
+            0.0
+            if x is None or y is None
+            else jaro_winkler_bytes(str(x).encode(), str(y).encode())
+            for x, y in sp
+        ]
+    )
+    assert (np.abs(want_s - got_s) <= 1e-12).all()

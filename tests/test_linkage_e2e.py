@@ -104,3 +104,46 @@ def test_full_fs_linkage_flow(spark):
     recall = tp / len(truth)
     assert precision >= 0.9, (precision, recall)
     assert recall >= 0.9, (precision, recall)
+
+
+def test_sparse_exact_engine_matches_dense(spark):
+    """exact_sparse=True (default) must produce identical counts, identical
+    full pattern surface, and identical transform output to the dense path —
+    including when an exact-only pattern is admitted by a low threshold."""
+    import numpy as np
+
+    from fixtures.synth import people
+
+    from fast_er_spark.linkage import Comparison, Estimation, Linkage
+
+    rows_a, rows_b = people(n=90, seed=17)
+    for i, r in enumerate(rows_a):
+        r["rid"] = i
+    for i, r in enumerate(rows_b):
+        r["rid"] = i
+    df_a = spark.createDataFrame(rows_a)
+    df_b = spark.createDataFrame(rows_b)
+    FUZZY = ["last_name", "first_name"]
+    EXACT = ["birth_year", "street_name"]
+
+    sp = Comparison(df_a, df_b, FUZZY, FUZZY, EXACT, EXACT, id_a="rid", id_b="rid").fit()
+    dn = Comparison(df_a, df_b, FUZZY, FUZZY, EXACT, EXACT, id_a="rid", id_b="rid").fit(
+        exact_sparse=False
+    )
+    assert sp._sparse is not None and dn._sparse is None
+    np.testing.assert_array_equal(sp.counts(), dn.counts())
+    pat_sp = {(r.id_a, r.id_b, r.pattern_id) for r in sp.patterns.collect()}
+    pat_dn = {(r.id_a, r.id_b, r.pattern_id) for r in dn.patterns.collect()}
+    assert pat_sp == pat_dn
+
+    est = Estimation(len(FUZZY), len(EXACT), dn.counts(), seed=13).fit()
+    for thr in (0.85, 1e-9):  # 1e-9 admits exact-only patterns too
+        out_sp = {
+            (r.Index_A, r.Index_B)
+            for r in Linkage(None, None, sp, est.ksi).transform(thr).collect()
+        }
+        out_dn = {
+            (r.Index_A, r.Index_B)
+            for r in Linkage(None, None, dn, est.ksi).transform(thr).collect()
+        }
+        assert out_sp == out_dn

@@ -69,7 +69,7 @@ def test_events_hourly_partial_aggregation(spark):
 def test_fuzzy_jw_single_python_stage_and_sized_partitions(spark):
     """The JW UDF must run EXACTLY once per candidate pair (Catalyst used to
     split it into filter + project ArrowEvalPython stages = 2x the work),
-    and the cross product must not appear above AUTO_LSH_PAIR_BUDGET."""
+    and the cross product partitioning must be explicit, not AQE-coalesced."""
     df = entry_mod.q_fuzzy_jw_supplier(spark, SF_DIR)
     stats = plan_stats(df)
     assert stats["python_udfs"] == 1, stats
