@@ -175,9 +175,57 @@ MODES = {
 }
 
 
+def cpu_control(n_tasks: int = 256) -> None:
+    """Pure-CPU scaling control: the SAME sketch kernel work (shingle-hash +
+    MinHash over synthetic docs) on a multiprocessing pool at 4 vs 16
+    workers — no JVM, no shuffle, no Spark. If this scales ~1.0 while the
+    Spark job does not, the gap is shared-box memory bandwidth / shuffle IO,
+    not the DAG."""
+    import multiprocessing as mp
+    import time
+
+    sys.path.insert(0, REPO)
+    results = {}
+    for workers in (4, 16):
+        s0 = _steal_sec()
+        t0 = time.perf_counter()
+        with mp.get_context("spawn").Pool(workers) as pool:
+            pool.map(_cpu_control_task, range(n_tasks))
+        wall = time.perf_counter() - t0
+        results[workers] = {
+            "wall_sec": round(wall, 2),
+            "docs_per_sec": round(n_tasks * 2000 / wall, 1),
+            "steal_sec": round(_steal_sec() - s0, 1),
+        }
+    eff = results[16]["docs_per_sec"] / (4 * results[4]["docs_per_sec"])
+    print(json.dumps({
+        "metric": "cpu_control_scaling_4_vs_16_workers",
+        "low": results[4], "high": results[16],
+        "efficiency": round(eff, 3),
+    }))
+
+
+def _cpu_control_task(seed: int) -> int:
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, REPO)
+    from fast_er_spark.functions.minhash import minhash_batch
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i:04d}" for i in range(2000)])
+    texts = pd.Series(
+        [" ".join(vocab[rng.integers(0, 2000, 160)]) for _ in range(2000)]
+    )
+    return len(minhash_batch(texts, num_perm=128, n=3, mode="word", seed=42))
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     mode = sys.argv[2] if len(sys.argv) > 2 else "executors"
+    if mode == "cpu_control":
+        cpu_control()
+        return
     lo_master, lo_cores, hi_master, hi_cores, exec_mem, label = MODES[mode]
     with tempfile.TemporaryDirectory(prefix="scaling_corpus_") as td:
         data = os.path.join(td, "corpus.parquet")
