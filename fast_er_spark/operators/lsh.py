@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.minhash import minhash_batch
+from ..functions.minhash import minhash_batch, oph_signature_batch
 
 __all__ = ["with_minhash_signature", "band_buckets", "lsh_candidate_pairs"]
 
@@ -51,13 +51,20 @@ def with_minhash_signature(
     mode: str = "word",
     seed: int = 42,
     out_col: str = "minhash",
+    scheme: str = "kperm",
 ) -> DataFrame:
     """Add an ArrayType(LongType) MinHash signature column (Arrow-vectorized
-    pandas_udf; one numpy broadcast per row)."""
+    pandas_udf). ``scheme='kperm'`` is the classic K-permutation family;
+    ``scheme='oph'`` is one-permutation hashing with rotation densification —
+    O(shingles) instead of O(K * shingles) per doc (~2x signature
+    throughput), same E[slot match] = Jaccard, the pipeline's production
+    default. The two families produce incompatible signatures — never mix
+    them in one index."""
+    batch = {"kperm": minhash_batch, "oph": oph_signature_batch}[scheme]
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        return minhash_batch(texts, num_perm=num_perm, n=n, mode=mode, seed=seed)
+        return batch(texts, num_perm=num_perm, n=n, mode=mode, seed=seed)
 
     return df.withColumn(out_col, sig(F.col(text_col)))
 
@@ -95,6 +102,7 @@ def lsh_candidate_pairs(
     max_bucket_size: int = 2000,
     num_partitions: int | None = None,
     star_pivots: int = 3,
+    scheme: str = "kperm",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a > id_b), deduplicated across
     bands. Rows with empty text are excluded (nothing to match)."""
@@ -104,7 +112,7 @@ def lsh_candidate_pairs(
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")).where(
         F.col("__text").isNotNull() & (F.length(F.trim(F.col("__text"))) > 0)
     )
-    signed = with_minhash_signature(base, "__text", num_perm, n, mode, seed)
+    signed = with_minhash_signature(base, "__text", num_perm, n, mode, seed, scheme=scheme)
     ex = band_buckets(signed, "id", "minhash", bands, rows_per_band)
     if num_partitions:
         ex = ex.repartition(num_partitions, "band", "bucket")

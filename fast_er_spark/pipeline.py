@@ -48,6 +48,10 @@ class DedupConfig:
     rows_per_band: int = 4
     ngram: int = 3
     mode: str = "word"
+    # 'oph' (one-permutation hashing + rotation densification) is ~2x the
+    # signature throughput of 'kperm' at the same banding recall; the
+    # signature UDF is the dominant corpus-scale cost (PERF.md)
+    sketch: str = "oph"
     threshold: float = 0.8
     seed: int = 42
     max_bucket_size: int = 2000
@@ -177,6 +181,7 @@ class DedupPipeline:
                 num_perm=c.num_perm, bands=c.bands, rows_per_band=c.rows_per_band,
                 n=c.ngram, mode=c.mode, seed=c.seed,
                 max_bucket_size=c.max_bucket_size, num_partitions=c.num_partitions,
+                scheme=c.sketch,
             ),
             resume,
         )

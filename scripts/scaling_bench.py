@@ -47,6 +47,7 @@ master, cores, data = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 # local-cluster[n,c,mem] sets WORKER capacity; executors still default to
 # 1g and OOM-loop on big inputs unless spark.executor.memory is set
 exec_mem = sys.argv[4] if len(sys.argv) > 4 else "7g"
+scheme = sys.argv[5] if len(sys.argv) > 5 else "kperm"
 # ship the package to executor python workers, spark-submit --py-files style
 # (required in local-cluster mode: executors are separate JVMs whose python
 # workers don't inherit the driver's sys.path)
@@ -72,12 +73,12 @@ n = docs.count()  # materialize cache: measure compute, not parquet read
 
 t0 = time.perf_counter()
 cand = lsh_candidate_pairs(docs, "id", "text", num_perm=128, bands=32,
-                           rows_per_band=4, n=3, seed=42)
+                           rows_per_band=4, n=3, seed=42, scheme=scheme)
 ver = verify_pairs_jaccard(cand, docs, "id", "text", n=3, threshold=0.8)
 clusters = connected_components(ver, nodes=docs.select("id"))
 clusters.write.format("noop").mode("overwrite").save()
 wall = time.perf_counter() - t0
-print(json.dumps({{"master": master, "cores": cores, "docs": n,
+print(json.dumps({{"master": master, "cores": cores, "docs": n, "scheme": scheme,
                    "wall_sec": round(wall, 2),
                    "docs_per_sec": round(n / wall, 1)}}))
 spark.stop()
@@ -139,7 +140,7 @@ def _steal_sec() -> float:
 
 
 def run_level(master: str, cores: int, data: str, trials: int = 3,
-              exec_mem: str = "7g") -> dict:
+              exec_mem: str = "7g", scheme: str = "kperm") -> dict:
     """Min-of-N trials with per-trial hypervisor-steal accounting."""
     script = WORKER.format(repo=REPO)
     best = None
@@ -147,7 +148,7 @@ def run_level(master: str, cores: int, data: str, trials: int = 3,
     for _ in range(trials):
         s0 = _steal_sec()
         out = subprocess.run(
-            [sys.executable, "-c", script, master, str(cores), data, exec_mem],
+            [sys.executable, "-c", script, master, str(cores), data, exec_mem, scheme],
             capture_output=True, text=True, timeout=1800,
         )
         stolen = round(_steal_sec() - s0, 1)

@@ -61,7 +61,7 @@ def test_minhash_batch_deterministic_and_empty_safe():
     s2 = minhash_batch(texts, 64, 3, "word", seed=7)
     assert list(s1[0]) == list(s2[0]) == list(s1[3])
     # empty/None rows must not collide with each other or content rows
-    assert s1[0] != s1[1] and s1[1] != s1[2]
+    assert list(s1[0]) != list(s1[1]) and list(s1[1]) != list(s1[2])
 
 
 def test_simhash_near_duplicates_low_hamming():
