@@ -362,6 +362,8 @@ class Deduplication:
         self.k_exact = len(vars_exact)
         self.patterns: DataFrame | None = None
         self._counts: np.ndarray | None = None
+        self._sparse: DataFrame | None = None
+        self._d: DataFrame | None = None
 
     def fit(
         self,
@@ -369,15 +371,25 @@ class Deduplication:
         lower_thr: float = 0.88,
         upper_thr: float = 0.94,
         candidates=None,
+        exact_sparse: bool = True,
     ) -> "Deduplication":
+        """``exact_sparse``: same sparse-exact engine as Comparison.fit, with
+        the triangular pair universe — exact-only pattern counts come from
+        sum(c*(c-1)/2) over value frequencies instead of a self-join that
+        materializes O(n^2/|values|) rows."""
         if self.patterns is not None:
             raise RuntimeError("already fitted")
         d = self.df.select(F.col(_ROW_ID).alias("id"), *self.vars_fuzzy, *self.vars_exact)
-        frames = []
+        self._d = d
+        fuzzy_frames = []
         for c in self.vars_fuzzy:
-            frames.append(
+            fuzzy_frames.append(
                 fuzzy_levels_dedup(d, c, "id", p, lower_thr, upper_thr, candidates)
             )
+        if exact_sparse and self.k_fuzzy >= 1 and self.k_exact >= 1:
+            self._fit_sparse(d, fuzzy_frames)
+            return self
+        frames = list(fuzzy_frames)
         for c in self.vars_exact:
             frames.append(exact_levels_dedup(d, c, "id"))
         self.patterns = assemble_patterns(
@@ -385,9 +397,104 @@ class Deduplication:
         ).localCheckpoint(eager=False)
         return self
 
+    def _fit_sparse(self, d: DataFrame, fuzzy_frames) -> None:
+        st = strides(self.k_fuzzy, self.k_exact)
+        contribs = [
+            f.select("id_a", "id_b", (F.col("level") * F.lit(s)).alias("contrib"))
+            for f, s in zip(fuzzy_frames, st[: self.k_fuzzy])
+        ]
+        u = contribs[0]
+        for c in contribs[1:]:
+            u = u.unionByName(c)
+        sparse = u.groupBy("id_a", "id_b").agg(F.sum("contrib").cast("long").alias("__fz"))
+        exact_expr = F.lit(0).cast("long")
+        for idx, c in enumerate(self.vars_exact):
+            s = st[self.k_fuzzy + idx]
+            va = d.select(F.col("id").alias("id_a"), F.col(c).cast("string").alias(f"__ea{idx}"))
+            vb = d.select(F.col("id").alias("id_b"), F.col(c).cast("string").alias(f"__eb{idx}"))
+            sparse = sparse.join(va, "id_a").join(vb, "id_b")
+            exact_expr = exact_expr + F.when(
+                F.col(f"__ea{idx}") == F.col(f"__eb{idx}"), F.lit(s).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        sparse = sparse.select(
+            "id_a", "id_b", (F.col("__fz") + exact_expr).alias("pattern_id")
+        )
+        self._sparse = sparse.localCheckpoint(eager=False)
+        self.patterns = self._sparse.unionByName(self._exact_only_patterns())
+
+    def _exact_only_patterns(self) -> DataFrame:
+        st = strides(self.k_fuzzy, self.k_exact)
+        frames = [
+            exact_levels_dedup(self._d, c, "id").select(
+                "id_a", "id_b", (F.col("level") * F.lit(st[self.k_fuzzy + i])).alias("contrib")
+            )
+            for i, c in enumerate(self.vars_exact)
+        ]
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        allex = u.groupBy("id_a", "id_b").agg(
+            F.sum("contrib").cast("long").alias("pattern_id")
+        )
+        return allex.join(
+            self._sparse.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+        )
+
+    def _exact_joint_counts(self) -> dict[int, int]:
+        """Triangular analogue of Comparison._exact_joint_counts:
+        N>=(S) = sum over joint non-null values of c*(c-1)/2."""
+        from itertools import combinations
+
+        k = self.k_exact
+        n_ge: dict[int, int] = {}
+        for r in range(1, k + 1):
+            for subset in combinations(range(k), r):
+                mask = sum(1 << (k - 1 - i) for i in subset)
+                cols = [self.vars_exact[i] for i in subset]
+                f = self._d.select(
+                    *[F.col(c).cast("string").alias(f"v{j}") for j, c in enumerate(cols)]
+                )
+                for j in range(len(cols)):
+                    f = f.where(F.col(f"v{j}").isNotNull())
+                # sum c*(c-1) in exact longs, halve driver-side (always even)
+                # — a double division would lose precision past 2^53 pairs
+                row = (
+                    f.groupBy(*[f"v{j}" for j in range(len(cols))])
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .agg(
+                        F.coalesce(
+                            F.sum(F.col("c") * (F.col("c") - F.lit(1))), F.lit(0)
+                        ).alias("t")
+                    )
+                    .collect()[0]
+                )
+                n_ge[mask] = int(row["t"]) // 2
+        exact_counts: dict[int, int] = {}
+        for e in range(1, 2**k):
+            total = 0
+            for t in range(e, 2**k):
+                if (t & e) == e:
+                    total += (-1) ** (bin(t).count("1") - bin(e).count("1")) * n_ge[t]
+            exact_counts[e] = total
+        return exact_counts
+
     def counts(self) -> np.ndarray:
         if self.patterns is None:
             raise RuntimeError("fit() first")
+        if self._counts is None and self._sparse is not None:
+            observed = {
+                int(r["pattern_id"]): int(r["cnt"])
+                for r in pattern_counts(self._sparse).collect()
+            }
+            sparse_by_e: dict[int, int] = {}
+            for pid, c in observed.items():
+                e = pid % (2**self.k_exact)
+                sparse_by_e[e] = sparse_by_e.get(e, 0) + c
+            for e, total in self._exact_joint_counts().items():
+                observed[e] = total - sparse_by_e.get(e, 0)
+            self._counts = counts_with_complement(
+                observed, self.k_fuzzy, self.k_exact, self.df.count(), None
+            )
         if self._counts is None:
             observed = {
                 int(r["pattern_id"]): int(r["cnt"])

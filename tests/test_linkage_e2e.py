@@ -147,3 +147,27 @@ def test_sparse_exact_engine_matches_dense(spark):
             for r in Linkage(None, None, dn, est.ksi).transform(thr).collect()
         }
         assert out_sp == out_dn
+
+
+def test_dedup_sparse_exact_engine_matches_dense(spark):
+    """Deduplication's sparse-exact path (default) must equal the dense path
+    on counts and the full pattern surface (triangular universe)."""
+    import numpy as np
+
+    from fixtures.synth import people
+
+    from fast_er_spark.linkage import Deduplication
+
+    rows, _ = people(n=110, seed=29)
+    for i, r in enumerate(rows):
+        r["rid"] = i
+    df = spark.createDataFrame(rows)
+    FUZZY = ["last_name", "first_name"]
+    EXACT = ["birth_year", "street_name"]
+    sp = Deduplication(df, FUZZY, EXACT, id_col="rid").fit()
+    dn = Deduplication(df, FUZZY, EXACT, id_col="rid").fit(exact_sparse=False)
+    assert sp._sparse is not None and dn._sparse is None
+    np.testing.assert_array_equal(sp.counts(), dn.counts())
+    pat_sp = {(r.id_a, r.id_b, r.pattern_id) for r in sp.patterns.collect()}
+    pat_dn = {(r.id_a, r.id_b, r.pattern_id) for r in dn.patterns.collect()}
+    assert pat_sp == pat_dn and pat_sp
