@@ -462,7 +462,11 @@ def q_fs_threshold_metrics(spark, sf_dir):
 def q_simhash_near_pairs(spark, sf_dir):
     """SimHash near-dup pairs: band the 64-bit fingerprints into 4 blocks,
     join on any shared block, keep Hamming distance <= 6 (JVM bit_count on
-    xor — no UDF in the pair path). Rows-only: hash family engine-defined."""
+    xor — no UDF in the pair path). Rows-only: hash family engine-defined.
+    Hot blocks (shared by > HOT_SHINGLE_DF_CAP docs — boilerplate-dominated
+    fingerprint quadrants at web scale) are dropped from the self-join, the
+    same m^2 fan-out guard as the token-shingle path; never binds at test
+    SFs."""
     fps = q_simhash_bands(spark, sf_dir)  # (doc_id, simhash)
     blocks = fps.select(
         "doc_id",
@@ -475,6 +479,13 @@ def q_simhash_near_pairs(spark, sf_dir):
                 ]
             )
         ).alias("block_idx", "block"),
+    )
+    blocks = (
+        blocks.withColumn(
+            "bf", F.count(F.lit(1)).over(Window.partitionBy("block_idx", "block"))
+        )
+        .where(F.col("bf") <= HOT_SHINGLE_DF_CAP)
+        .drop("bf")
     )
     a = blocks.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a"), "block_idx", "block"
@@ -501,6 +512,19 @@ def q_embedding_lsh_topk(spark, sf_dir):
     dim = len(emb.select("embedding").first()[0])
     q = emb.where(F.col("vec_id") < 20)
     return lsh_topk(q, emb, dim=dim, k=5, n_planes=8, n_tables=8).select(
+        F.col("qid").cast("long"), F.col("vid").cast("long"), F.col("rank").cast("int")
+    )
+
+
+def q_embedding_ivf_topk(spark, sf_dir):
+    """Approximate ANN via an IVF index (coarse k-means cells + n_probe
+    search, exact cosine re-rank). Rows-only: codebook is engine-defined."""
+    from fast_er_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.where(F.col("vec_id") < 20)
+    return ivf_topk(q, emb, dim=dim, k=5, n_cells=32, n_probe=8).select(
         F.col("qid").cast("long"), F.col("vid").cast("long"), F.col("rank").cast("int")
     )
 
@@ -548,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "fs_threshold_metrics": q_fs_threshold_metrics,
         "embedding_lsh_topk": q_embedding_lsh_topk,
+        "embedding_ivf_topk": q_embedding_ivf_topk,
         "media_features": q_media_features,
     }
 

@@ -63,3 +63,125 @@ def streaming_dup_rate(
             F.round(1.0 - F.col("n_distinct") / F.col("n_docs"), 4).alias("dup_rate"),
         )
     )
+
+
+def streaming_near_dup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    num_perm: int = 128,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    n: int = 3,
+    mode: str = "word",
+    seed: int = 42,
+    scheme: str = "oph",
+    watermark: str = "1 hour",
+    min_est: float = 0.5,
+    max_bucket_state: int = 256,
+) -> DataFrame:
+    """Streaming NEAR-duplicate candidates via stateful LSH
+    (applyInPandasWithState — the custom stateful operator path).
+
+    Each incoming page is MinHash-signed and banded exactly like the batch
+    pipeline; state lives per (band, bucket) and holds the ids + full
+    signatures of up to ``max_bucket_state`` docs seen within the watermark
+    horizon (event-time timeout expires idle buckets, so state is bounded by
+    horizon x bucket fan-out, never stream lifetime). A new page colliding
+    with a stored signature at estimated Jaccard >= ``min_est`` emits
+    (id, prior_id, est_jaccard, band) — candidates, to be exact-verified
+    downstream exactly like the batch sketch-then-verify contract. A pair
+    colliding in several bands emits several rows; dedupe on (id, prior_id).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.lsh import with_minhash_signature
+
+    horizon_ms = _duration_ms(watermark)
+
+    signed = with_minhash_signature(
+        stream.withWatermark(ts_col, watermark),
+        text_col, num_perm, n, mode, seed, scheme=scheme,
+    )
+    # one generator select keeps ts+minhash alongside the band keys, so the
+    # signature UDF runs exactly once (a band_buckets + self-join would
+    # re-evaluate the UDF per consumer — PERF.md)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.lit(b), F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band))
+            for b in range(bands)
+        ]
+    )
+    banded = signed.select(
+        F.col(id_col).alias("id"),
+        F.col(ts_col).alias("ts"),
+        "minhash",
+        F.posexplode(band_hashes).alias("band", "bucket"),
+    )
+
+    out_type = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("prior_id", T.LongType()),
+        T.StructField("est_jaccard", T.DoubleType()),
+        T.StructField("band", T.IntegerType()),
+    ])
+    state_type = T.StructType([
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.BinaryType()),
+    ])
+
+    def flag(key, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        band = int(key[0])
+        if state.exists:
+            ids, sigb = state.get
+            ids = list(ids)
+            sigs = np.frombuffer(sigb, dtype=np.int64).reshape(-1, num_perm)
+        else:
+            ids, sigs = [], np.empty((0, num_perm), dtype=np.int64)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                sig = np.asarray(row.minhash, dtype=np.int64)
+                if len(ids):
+                    est = (sigs == sig[None, :]).mean(axis=1)
+                    j = int(est.argmax())
+                    if est[j] >= min_est and ids[j] != row.id:
+                        out.append((int(row.id), int(ids[j]), float(est[j]), band))
+                ids.append(int(row.id))
+                sigs = np.vstack([sigs, sig[None, :]])
+        if len(ids) > max_bucket_state:
+            ids = ids[-max_bucket_state:]
+            sigs = sigs[-max_bucket_state:]
+        state.update((ids, sigs.tobytes()))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp((wm if wm > 0 else 0) + horizon_ms + 1)
+        if out:
+            yield pd.DataFrame(out, columns=["id", "prior_id", "est_jaccard", "band"])
+
+    return (
+        banded.groupBy("band", "bucket")
+        .applyInPandasWithState(
+            flag, out_type, state_type, "append", GroupStateTimeout.EventTimeTimeout
+        )
+    )
+
+
+def _duration_ms(s: str) -> int:
+    qty, unit = s.split()
+    mult = {
+        "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit]
+    return int(qty) * mult

@@ -325,3 +325,95 @@ def test_boilerplate_sentence_does_not_merge_clusters(spark, tmp_path):
     got = {int(r.id): int(r.component) for r in pipe.run(df).collect()}
     assert got[0] != got[1], got   # boilerplate: verified span < 96 -> no merge
     assert got[2] == got[3], got   # containment: span = len(root) >= 96 -> merge
+
+
+def test_streaming_near_dup_lsh(spark, corpus, tmp_path):
+    """Stateful streaming LSH (applyInPandasWithState): near-dup candidates
+    must cover >=99% of true Jaccard>=0.8 pairs across micro-batches (state
+    carries between batches: maxFilesPerTrigger=1 over 4 files)."""
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.streaming.dedup_stream import streaming_near_dup
+
+    rows, df = corpus
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    src = str(tmp_path / "nd_src")
+    # 4 event-time-ordered files -> 4 micro-batches
+    base = df.select("doc_id", "warc_ts", "text").orderBy("warc_ts").collect()
+    import os
+    os.makedirs(src)
+    chunk = (len(base) + 3) // 4
+    for i in range(4):
+        part = base[i * chunk : (i + 1) * chunk]
+        if part:
+            spark.createDataFrame(part).coalesce(1).write.parquet(f"{src}/f{i}.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, warc_ts timestamp, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*.parquet")
+    )
+    flagged = streaming_near_dup(stream, "doc_id", "text", "warc_ts", min_est=0.5)
+    out = str(tmp_path / "nd_out")
+    q = (
+        flagged.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (max(int(r.id), int(r.prior_id)), min(int(r.id), int(r.prior_id)))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert all(a != b for a, b in got)
+
+    # the operator emits ONE best prior per colliding doc (star edges —
+    # clustering closes the rest, same as the batch star guard), so the
+    # contract is CO-CLUSTERING of true dup pairs, not per-pair emission
+    from oracle.reference import jaccard_dup_pairs
+
+    want = jaccard_dup_pairs(texts, n=3, mode="word", threshold=0.8)
+    assert want
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got:
+        parent[find(a)] = find(b)
+    co = sum(1 for a, b in want if find(a) == find(b))
+    recall = co / len(want)
+    assert recall >= 0.99, (recall, sorted(want)[:5])
+
+
+def test_similarity_ivf_recall(spark):
+    """IVF index (coarse k-means cells + n_probe search) must hit >=0.8
+    recall of exact cosine top-5 on clustered embeddings."""
+    import numpy as np
+
+    from fast_er_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 32, 64, 6
+    cents = rng.standard_normal((n_clusters, dim))
+    vecs = np.repeat(cents, per, axis=0) + 0.15 * rng.standard_normal(
+        (n_clusters * per, dim)
+    )
+    n = len(vecs)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).cache()
+    q = df.where("vec_id < 10")
+    exact = {(r.qid, r.vid) for r in cosine_topk(q, df, k=5).collect()}
+    approx = {
+        (r.qid, r.vid)
+        for r in ivf_topk(q, df, dim=dim, k=5, n_cells=32, n_probe=6).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
