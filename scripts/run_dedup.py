@@ -47,6 +47,12 @@ def main() -> None:
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument("--iceberg-catalog", default=None)
     ap.add_argument("--no-substring-pass", action="store_true")
+    ap.add_argument("--substring-min-span", type=int, default=96,
+                    help="exact shared-span (LCS) a substring candidate must "
+                         "prove before it may merge clusters; 0 disables")
+    ap.add_argument("--sketch", choices=["oph", "kperm"], default="oph",
+                    help="MinHash family: one-permutation hashing (2x "
+                         "throughput) or classic k-perm")
     ap.add_argument("--pregroup-exact", action="store_true",
                     help="collapse byte-identical texts before the sketch path")
     ap.add_argument("--no-resume", action="store_true")
@@ -68,6 +74,8 @@ def main() -> None:
         threshold=args.threshold,
         max_bucket_size=args.max_bucket_size,
         substring_pass=not args.no_substring_pass,
+        substring_min_span=args.substring_min_span,
+        sketch=args.sketch,
         pregroup_exact=args.pregroup_exact,
         num_partitions=args.num_partitions,
     )
