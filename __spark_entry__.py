@@ -526,6 +526,43 @@ def q_embedding_lsh_topk(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the brute-force exact twin of
+    the ANN paths, cross-engine FLOAT-FREE: components quantize to
+    round(x*100) ints and the threshold test is pure int64 arithmetic
+    (cos >= 0.4 <=> dot > 0 and 25*dot^2 >= 4*|a|^2*|b|^2), so Spark and
+    DuckDB agree bit-for-bit. Threshold 0.4 is test-scale (the fixture
+    embeddings are unclustered; production near-dup uses 0.9+ with the
+    LSH/IVF candidate paths)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: F.round(x * 100).cast("long")
+        ).alias("q"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda side: F.aggregate(
+        F.col(f"{side}.q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") > F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            dot.alias("d"),
+            sq("a").alias("na"),
+            sq("b").alias("nb"),
+        )
+        .where((F.col("d") > 0) & (25 * F.col("d") * F.col("d") >= 4 * F.col("na") * F.col("nb")))
+        .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+    )
+
+
 def q_embedding_ivf_topk(spark, sf_dir):
     """Approximate ANN via an IVF index (coarse k-means cells + n_probe
     search, exact cosine re-rank). Rows-only: codebook is engine-defined."""
@@ -583,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_threshold_metrics": q_fs_threshold_metrics,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
     }
 
@@ -787,6 +825,23 @@ ranked AS (
 )
 SELECT CAST(qid AS BIGINT) AS qid, CAST(vid AS BIGINT) AS vid, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
+"""
+    sqls["embedding_near_dup"] = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 100) AS BIGINT)) AS qv
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_inner_product(a.qv, b.qv) AS d,
+         list_inner_product(a.qv, a.qv) AS na,
+         list_inner_product(b.qv, b.qv) AS nb
+  FROM q a JOIN q b ON a.vec_id > b.vec_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+FROM p WHERE d > 0 AND 25 * d * d >= 4 * na * nb
 """
     sqls["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
