@@ -151,7 +151,7 @@ class Comparison:
                     candidates, block=blk,
                 )
             )
-        if exact_sparse and self.k_fuzzy >= 1 and self.k_exact >= 1 and not blk:
+        if exact_sparse and self.k_fuzzy >= 1 and self.k_exact >= 1:
             self._fit_sparse(a, b, fuzzy_frames)
             return self
         frames = list(fuzzy_frames)
@@ -206,9 +206,10 @@ class Comparison:
         materializing; built on demand (API parity / admitted exact-only
         patterns)."""
         a, b = self._ab
+        blk = self.blocking_a is not None
         st = strides(self.k_fuzzy, self.k_exact)
         frames = [
-            exact_levels_linkage(a, b, ca, cb, "id_a", "id_b").select(
+            exact_levels_linkage(a, b, ca, cb, "id_a", "id_b", block=blk).select(
                 "id_a", "id_b", (F.col("level") * F.lit(st[self.k_fuzzy + i])).alias("contrib")
             )
             for i, (ca, cb) in enumerate(zip(self.vars_exact_a, self.vars_exact_b))
@@ -228,10 +229,13 @@ class Comparison:
         materialization: for every non-empty subset S of exact variables,
         N>=(S) = sum over joint non-null values of cntA*cntB (pairs agreeing
         on at least S), then Moebius inversion gives pairs agreeing on
-        exactly the subset e. Costs 2^k_exact small aggregations."""
+        exactly the subset e. Costs 2^k_exact small aggregations. Blocked
+        comparisons add the block key to the joint grouping (pairs only
+        exist within a block)."""
         from itertools import combinations
 
         a, b = self._ab
+        blk = ["__block"] if self.blocking_a is not None else []
         k = self.k_exact
         n_ge: dict[int, int] = {}
         for r in range(1, k + 1):
@@ -239,18 +243,21 @@ class Comparison:
                 mask = sum(1 << (k - 1 - i) for i in subset)
                 ca = [self.vars_exact_a[i] for i in subset]
                 cb = [self.vars_exact_b[i] for i in subset]
-                fa = a.select(*[F.col(c).cast("string").alias(f"v{j}") for j, c in enumerate(ca)])
-                fb = b.select(*[F.col(c).cast("string").alias(f"v{j}") for j, c in enumerate(cb)])
+                fa = a.select(
+                    *blk,
+                    *[F.col(c).cast("string").alias(f"v{j}") for j, c in enumerate(ca)],
+                )
+                fb = b.select(
+                    *blk,
+                    *[F.col(c).cast("string").alias(f"v{j}") for j, c in enumerate(cb)],
+                )
                 for j in range(len(subset)):
                     fa = fa.where(F.col(f"v{j}").isNotNull())
                     fb = fb.where(F.col(f"v{j}").isNotNull())
-                ga = fa.groupBy(*[f"v{j}" for j in range(len(subset))]).agg(
-                    F.count(F.lit(1)).alias("na")
-                )
-                gb = fb.groupBy(*[f"v{j}" for j in range(len(subset))]).agg(
-                    F.count(F.lit(1)).alias("nb")
-                )
-                row = ga.join(gb, [f"v{j}" for j in range(len(subset))]).agg(
+                keys = [*blk, *[f"v{j}" for j in range(len(subset))]]
+                ga = fa.groupBy(*keys).agg(F.count(F.lit(1)).alias("na"))
+                gb = fb.groupBy(*keys).agg(F.count(F.lit(1)).alias("nb"))
+                row = ga.join(gb, keys).agg(
                     F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("t")
                 ).collect()[0]
                 n_ge[mask] = int(row["t"])
@@ -301,10 +308,13 @@ class Comparison:
                 sparse_by_e[e] = sparse_by_e.get(e, 0) + c
             for e, total in self._exact_joint_counts().items():
                 observed[e] = total - sparse_by_e.get(e, 0)
-            total_a, total_b = self.df_a.count(), self.df_b.count()
-            self._counts = counts_with_complement(
-                observed, self.k_fuzzy, self.k_exact, total_a, total_b
-            )
+            if self.blocking_a is None:
+                total_a, total_b = self.df_a.count(), self.df_b.count()
+                self._counts = counts_with_complement(
+                    observed, self.k_fuzzy, self.k_exact, total_a, total_b
+                )
+            else:
+                self._counts = self._blocked_complement(observed)
         if self._counts is None:
             observed = {
                 int(r["pattern_id"]): int(r["cnt"])
@@ -316,27 +326,26 @@ class Comparison:
                     observed, self.k_fuzzy, self.k_exact, total_a, total_b
                 )
             else:
-                # blocked pair universe: sum over blocks |A_b| * |B_b|
-                # (reference blocking sums per-block Counts, usage.rst)
-                ca = self.df_a.groupBy("__block").count().withColumnsRenamed(
-                    {"count": "na"}
-                )
-                cb = self.df_b.groupBy("__block").count().withColumnsRenamed(
-                    {"count": "nb"}
-                )
-                row = ca.join(cb, "__block").select(
-                    F.sum(F.col("na") * F.col("nb")).alias("t")
-                ).collect()[0]
-                total = int(row["t"] or 0)
-                from .patterns import n_patterns
-                import numpy as np
-                counts = np.zeros(n_patterns(self.k_fuzzy, self.k_exact), dtype=np.int64)
-                for pid, c in observed.items():
-                    if pid != 0:
-                        counts[pid] = c
-                counts[0] = total - counts[1:].sum()
-                self._counts = counts
+                self._counts = self._blocked_complement(observed)
         return self._counts
+
+    def _blocked_complement(self, observed: dict[int, int]) -> np.ndarray:
+        """Blocked pair universe: sum over blocks |A_b| * |B_b| (the
+        reference's blocking sums per-block Counts, usage.rst)."""
+        from .patterns import n_patterns
+
+        ca = self.df_a.groupBy("__block").count().withColumnsRenamed({"count": "na"})
+        cb = self.df_b.groupBy("__block").count().withColumnsRenamed({"count": "nb"})
+        row = ca.join(cb, "__block").select(
+            F.sum(F.col("na") * F.col("nb")).alias("t")
+        ).collect()[0]
+        total = int(row["t"] or 0)
+        counts = np.zeros(n_patterns(self.k_fuzzy, self.k_exact), dtype=np.int64)
+        for pid, c in observed.items():
+            if pid != 0:
+                counts[pid] = c
+        counts[0] = total - counts[1:].sum()
+        return counts
 
 
 class Deduplication:

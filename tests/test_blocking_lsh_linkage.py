@@ -187,3 +187,30 @@ def test_linkage_with_passed_frames_uses_comparison_ids(spark):
     comp_pos = Comparison(df_a, df_b, FUZZY, FUZZY, EXACT, EXACT).fit()
     with pytest.raises(ValueError):
         Linkage(df_a, df_b, comp_pos, est.ksi)
+
+
+def test_blocked_sparse_exact_matches_dense(spark):
+    """The sparse-exact engine must hold under blocking: counts and the full
+    pattern surface equal the dense blocked path."""
+    import numpy as np
+
+    from fast_er_spark.linkage import Comparison
+
+    rows_a, rows_b = people(n=80, seed=41)
+    for i, r in enumerate(rows_a):
+        r["rid"] = i
+    for i, r in enumerate(rows_b):
+        r["rid"] = i
+    _with_block(rows_a)
+    _with_block(rows_b)
+    df_a = spark.createDataFrame(rows_a)
+    df_b = spark.createDataFrame(rows_b)
+    sp = Comparison(df_a, df_b, FUZZY, FUZZY, EXACT, EXACT, id_a="rid", id_b="rid",
+                    blocking_a="blk", blocking_b="blk").fit()
+    dn = Comparison(df_a, df_b, FUZZY, FUZZY, EXACT, EXACT, id_a="rid", id_b="rid",
+                    blocking_a="blk", blocking_b="blk").fit(exact_sparse=False)
+    assert sp._sparse is not None and dn._sparse is None
+    np.testing.assert_array_equal(sp.counts(), dn.counts())
+    pat_sp = {(r.id_a, r.id_b, r.pattern_id) for r in sp.patterns.collect()}
+    pat_dn = {(r.id_a, r.id_b, r.pattern_id) for r in dn.patterns.collect()}
+    assert pat_sp == pat_dn and pat_sp

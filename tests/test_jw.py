@@ -135,3 +135,31 @@ def test_bit_parallel_parity_with_scalar():
         ]
     )
     assert (np.abs(want_s - got_s) <= 1e-12).all()
+
+
+def test_bit_parallel_hypothesis_parity():
+    """Property-based parity: the bit-parallel kernel equals the scalar
+    reference kernel for arbitrary byte strings up to 63 bytes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fast_er_spark.functions.jw import jaro_winkler_bytes, jw_bits_batch
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.binary(min_size=0, max_size=63),
+                st.binary(min_size=0, max_size=63),
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def check(pairs):
+        got = jw_bits_batch([a for a, _ in pairs], [b for _, b in pairs])
+        want = np.array([jaro_winkler_bytes(a, b) for a, b in pairs])
+        assert (np.abs(got - want) <= 1e-12).all()
+
+    check()
