@@ -65,12 +65,17 @@ def q_token_jaccard_pairs(spark, sf_dir):
     sh = docs.select(
         F.col("doc_id").alias("id"), F.explode(shingle_hashes("text", NGRAM)).alias("g")
     )
-    # hot-shingle guard: one window shuffle on g (reused by the self-join)
     sh = (
         sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
         .where(F.col("df") <= HOT_SHINGLE_DF_CAP)
         .drop("df")
     )
+    # the capped shingle frame feeds FOUR consumers (a-side, b-side, and both
+    # size joins); without materialization Spark recomputes the shingle UDF +
+    # df-cap window once per consumer (4 scans / 4 ArrowEvalPython stages in
+    # the round-2 plan snapshot) — same recompute trap verify.py checkpoints
+    # against
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("id").alias("id_a"), "g")
     b = sh.select(F.col("id").alias("id_b"), "g")
@@ -149,7 +154,9 @@ def q_fs_pattern_counts(spark, sf_dir):
     observed = pattern_counts(pats)
     n = sup.count()
     total = n * (n + 1) // 2
-    nonzero = observed.where(F.col("pattern_id") != 0)
+    # checkpoint: the complement sum (collect below) and the returned frame
+    # would otherwise each execute the full pattern DAG
+    nonzero = observed.where(F.col("pattern_id") != 0).localCheckpoint(eager=False)
     s = nonzero.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
     comp = spark.createDataFrame([(0, total - int(s))], "pattern_id long, cnt long")
     return nonzero.select(F.col("pattern_id").cast("long"), F.col("cnt").cast("long")).unionByName(
