@@ -570,6 +570,25 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Embedding near-dup pairs via the SCALE path (SRP-bucketed candidates
+    + exact integer-quantized cosine verify) — oracled against the same
+    brute-force SQL as q_embedding_near_dup: verification is exact, so the
+    outputs hash-equal wherever SRP recall is 1.0. At the test-scale
+    threshold 0.4 (fixture embeddings are unclustered) that needs coarse
+    buckets: (3 planes, 24 tables) gives measured recall 1.0 at sf0.001/
+    0.01/0.1 and analytic per-pair miss < 1e-4 at cos = 0.4. Production
+    semantic dedup (threshold 0.9+) uses the default (8 planes, 16
+    tables)."""
+    from fast_er_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_near_dup_pairs(
+        emb, dim=dim, threshold=0.4, n_planes=3, n_tables=24, seed=42
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+
+
 def q_embedding_ivf_topk(spark, sf_dir):
     """Approximate ANN via an IVF index (coarse k-means cells + n_probe
     search, exact cosine re-rank). Rows-only: codebook is engine-defined."""
@@ -628,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_ivf_topk": q_embedding_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "media_features": q_media_features,
     }
 
@@ -850,6 +870,9 @@ p AS (
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
 FROM p WHERE d > 0 AND 25 * d * d >= 4 * na * nb
 """
+    # the LSH pair path verifies with the IDENTICAL quantized-integer test,
+    # so its oracle is the same brute-force SQL (recall 1.0 at test SFs)
+    sqls["embedding_near_dup_lsh"] = sqls["embedding_near_dup"]
     sqls["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        CAST(count(*) AS BIGINT) AS n,

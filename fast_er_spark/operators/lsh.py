@@ -40,7 +40,12 @@ from pyspark.sql import types as T
 
 from ..functions.minhash import minhash_batch, oph_signature_batch
 
-__all__ = ["with_minhash_signature", "band_buckets", "lsh_candidate_pairs"]
+__all__ = [
+    "with_minhash_signature",
+    "band_buckets",
+    "bucket_member_pairs",
+    "lsh_candidate_pairs",
+]
 
 
 def with_minhash_signature(
@@ -130,12 +135,24 @@ def lsh_candidate_pairs(
         .where(F.size("ids") >= 2)
     )
 
+    return bucket_member_pairs(buckets, max_bucket_size, star_pivots)
+
+
+def bucket_member_pairs(
+    buckets: DataFrame, max_bucket_size: int = 2000, star_pivots: int = 3
+) -> DataFrame:
+    """(id_a, id_b) with id_a > id_b from a frame with an ascending-sorted
+    ``ids`` array column (one row per bucket), deduplicated across buckets.
+
+    Full clique for normal buckets (ids ascending: (ids[j>i], ids[i]) has
+    id_a > id_b); bounded multi-probe star for hot buckets — every member
+    pairs with the first ``star_pivots`` members, so fan-out is
+    O(star_pivots * bucket) and a member only loses connectivity if it fails
+    downstream verification against ALL pivots (see module RECALL CAVEAT).
+    The clique-vs-star choice is a CASE inside one pair-array expression:
+    branching into two DataFrame consumers would recompute the upstream
+    bucketing per branch (measured 2x wall)."""
     ids = F.col("ids")
-    # full clique for normal buckets (ids ascending: (ids[j>i], ids[i]) has
-    # id_a > id_b); bounded multi-probe star for hot buckets — every member
-    # pairs with the first star_pivots members, so fan-out is
-    # O(star_pivots * bucket) and a member only loses connectivity if it
-    # fails verification against ALL pivots (see module RECALL CAVEAT)
     clique_array = F.flatten(
         F.transform(
             ids,

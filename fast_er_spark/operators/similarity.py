@@ -21,7 +21,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-__all__ = ["cosine_topk", "srp_sketch", "lsh_topk", "ivf_centroids", "ivf_topk"]
+__all__ = [
+    "cosine_topk",
+    "srp_sketch",
+    "srp_sketch_multi",
+    "lsh_topk",
+    "ivf_centroids",
+    "ivf_topk",
+    "quantize_vector",
+    "quantized_cosine_threshold",
+    "embedding_near_dup_pairs",
+]
 
 
 def _dot(a, b):
@@ -70,6 +80,132 @@ def srp_sketch(dim: int, n_planes: int = 16, table: int = 0, seed: int = 42):
         return pd.Series(out)
 
     return sketch
+
+
+def srp_sketch_multi(dim: int, n_planes: int, n_tables: int, seed: int = 42):
+    """All-tables SRP sketch UDF: vector -> array of ``n_tables`` bucket
+    keys, one matmul per Arrow batch instead of one UDF pass per table.
+    Table ``t``'s planes are generated exactly like ``srp_sketch(table=t)``
+    (rng seed + 1000*t), so the two are drop-in compatible."""
+    per_table = [
+        np.random.default_rng(seed + 1000 * t).standard_normal((n_planes, dim))
+        for t in range(n_tables)
+    ]
+    planes = np.concatenate(per_table, axis=0)  # (T*P, dim)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sketch(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes.T) > 0  # (batch, T*P)
+        keys = bits.reshape(len(vecs), n_tables, n_planes).astype(np.int64) @ weights
+        return pd.Series(list(keys))
+
+    return sketch
+
+
+def quantize_vector(vec_col, quantize: int = 100):
+    """array<float> -> array<long>: components rounded to ``1/quantize``
+    units. Integer vectors make the cosine-threshold test exact (no float
+    comparison), at the cost of quantization error ~1/(2*quantize) per
+    component — the contract the brute-force oracle twin uses too."""
+    return F.transform(
+        F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+        lambda x: F.round(x * quantize).cast("long"),
+    )
+
+
+def quantized_cosine_threshold(threshold: float):
+    """cos(a, b) >= threshold as pure int64 arithmetic over quantized
+    vectors: with threshold = num/den (reduced fraction),
+    cos >= num/den  <=>  dot > 0 and den^2*dot^2 >= num^2*|a|^2*|b|^2.
+    Returns (num, den). Overflow bound: den^2 * |a|^2 * |b|^2 must stay
+    below 2^63 — with quantize=100 and unit-ish vectors that holds up to
+    ~10^5 dims; larger scales shrink ``quantize``."""
+    from fractions import Fraction
+
+    fr = Fraction(threshold).limit_denominator(1000)
+    return fr.numerator, fr.denominator
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 16,
+    seed: int = 42,
+    quantize: int = 100,
+    max_bucket_size: int = 4000,
+    star_pivots: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a > id_b) over an embedding column — the
+    SCALE pair path (SemDeDup-style semantic dedup): SRP-bucketed candidates
+    + exact integer-quantized cosine verification, never the O(N^2)
+    self-join.
+
+    - ONE Arrow UDF pass computes all ``n_tables`` bucket keys per vector
+      (srp_sketch_multi); ONE shuffle keyed on (table, bucket) gathers
+      members; pairs come from the shared clique/star array expression
+      (lsh.bucket_member_pairs), so hot buckets (a mega-cluster of
+      near-identical embeddings) emit a bounded multi-probe star instead of
+      an m^2 clique.
+    - Verification is exact on the quantized vectors (no float compare), so
+      the verified output equals the brute-force quantized twin wherever SRP
+      recall holds: per-pair miss probability is
+      (1 - (1 - acos(cos)/pi)^n_planes)^n_tables — tune (n_planes,
+      n_tables) to the threshold (low thresholds need few planes / more
+      tables; 0.9+ production thresholds collide easily).
+
+    100 TB design: candidates are O(sum bucket^2 bounded by star caps), the
+    two verify joins are plain equi-joins on id (broadcast when the pair
+    side is small), and nothing materializes the cross product.
+    """
+    base = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).where(F.col("v").isNotNull() & (F.size("v") == dim))
+    qv = base.select("id", quantize_vector("v", quantize).alias("q")).localCheckpoint(
+        eager=False
+    )
+
+    sketch = srp_sketch_multi(dim, n_planes, n_tables, seed)
+    banded = base.select("id", F.posexplode(sketch(F.col("v"))).alias("tbl", "bucket"))
+    buckets = (
+        banded.groupBy("tbl", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    from .lsh import bucket_member_pairs
+
+    cand = bucket_member_pairs(buckets, max_bucket_size, star_pivots)
+
+    num, den = quantized_cosine_threshold(threshold)
+    a = qv.select(F.col("id").alias("id_a"), F.col("q").alias("qa"))
+    b = qv.select(F.col("id").alias("id_b"), F.col("q").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(
+        F.col(c), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", dot.alias("d"), sq("qa").alias("na"), sq("qb").alias("nb"))
+        .where(
+            (F.col("d") > 0)
+            & (
+                F.lit(den * den) * F.col("d") * F.col("d")
+                >= F.lit(num * num) * F.col("na") * F.col("nb")
+            )
+        )
+        .select("id_a", "id_b")
+    )
 
 
 def lsh_topk(

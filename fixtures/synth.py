@@ -15,7 +15,15 @@ from __future__ import annotations
 import datetime as dt
 import random
 
-__all__ = ["pages", "people", "voters", "render_html", "extract_text", "VOCAB"]
+__all__ = [
+    "pages",
+    "people",
+    "voters",
+    "embeddings",
+    "render_html",
+    "extract_text",
+    "VOCAB",
+]
 
 VOCAB = (
     "the a of to and in for on with data web page site user time year world "
@@ -132,6 +140,45 @@ def pages(
 _FIRST = "james mary john patricia robert jennifer michael linda william barbara".split()
 _LAST = "smith johnson williams brown jones garcia miller davis rodriguez martinez".split()
 _STREET = "main oak pine maple cedar elm washington lake hill park".split()
+
+
+def embeddings(
+    n: int = 400,
+    dim: int = 32,
+    n_clusters: int = 8,
+    dup_frac: float = 0.3,
+    dup_noise: float = 0.03,
+    seed: int = 42,
+):
+    """Clustered unit embeddings with planted near-duplicates.
+
+    Returns (rows, dup_pairs): rows are (vec_id, embedding: list[float],
+    label); ``dup_frac`` of rows are a prior row plus gaussian noise of
+    scale ``dup_noise`` (cosine ~0.995+ to their source), so semantic-dedup
+    operators have a ground-truth-ish planted pair set. Deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = np.empty((n, dim))
+    labels = np.empty(n, dtype=np.int64)
+    dup_pairs: list[tuple[int, int]] = []
+    for i in range(n):
+        if i > 0 and rng.random() < dup_frac:
+            src = int(rng.integers(0, i))
+            v = vecs[src] + dup_noise * rng.standard_normal(dim)
+            labels[i] = labels[src]
+            dup_pairs.append((i, src))
+        else:
+            c = int(rng.integers(0, n_clusters))
+            v = cents[c] + 0.35 * rng.standard_normal(dim)
+            labels[i] = c
+        vecs[i] = v / max(float(np.linalg.norm(v)), 1e-12)
+    rows = [
+        (i, [float(x) for x in vecs[i]], int(labels[i])) for i in range(n)
+    ]
+    return rows, dup_pairs
 
 
 def _typo(rng: random.Random, s: str) -> str:
