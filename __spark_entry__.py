@@ -477,46 +477,19 @@ def q_fs_threshold_metrics(spark, sf_dir):
 
 
 def q_simhash_near_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: band the 64-bit fingerprints into 4 blocks,
-    join on any shared block, keep Hamming distance <= 6 (JVM bit_count on
-    xor — no UDF in the pair path). Rows-only: hash family engine-defined.
-    Hot blocks (shared by > HOT_SHINGLE_DF_CAP docs — boilerplate-dominated
-    fingerprint quadrants at web scale) are dropped from the self-join, the
-    same m^2 fan-out guard as the token-shingle path; never binds at test
-    SFs."""
+    """SimHash near-dup pairs via the Manku-Jain-Sarma permuted-block
+    operator (operators/simhash_pairs.py): 4 blocks x 1 key block = the same
+    4x16-bit table design as round 2 (identical output at test SFs, where no
+    bucket exceeds the cap), but hot buckets now degrade to sorted-window
+    adjacency instead of being dropped — recall decays gracefully on an
+    unbounded corpus instead of collapsing at the 2^16 key-universe ceiling.
+    Rows-only: hash family engine-defined."""
+    from fast_er_spark.operators.simhash_pairs import simhash_near_pairs
+
     fps = q_simhash_bands(spark, sf_dir)  # (doc_id, simhash)
-    blocks = fps.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ).alias("block_idx", "block"),
-    )
-    blocks = (
-        blocks.withColumn(
-            "bf", F.count(F.lit(1)).over(Window.partitionBy("block_idx", "block"))
-        )
-        .where(F.col("bf") <= HOT_SHINGLE_DF_CAP)
-        .drop("bf")
-    )
-    a = blocks.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("fp_a"), "block_idx", "block"
-    )
-    b = blocks.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("fp_b"), "block_idx", "block"
-    )
-    return (
-        a.join(b, ["block_idx", "block"])
-        .where(F.col("id_a") > F.col("id_b"))
-        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
-        .where(F.col("hamming") <= 6)
-        .select("id_a", "id_b", F.col("hamming").cast("int"))
-        .dropDuplicates(["id_a", "id_b"])
+    return simhash_near_pairs(
+        fps, "doc_id", "simhash", hamming_max=6, blocks=4, key_blocks=1,
+        max_bucket_size=HOT_SHINGLE_DF_CAP, scan_window=8,
     )
 
 
