@@ -494,14 +494,18 @@ def q_simhash_near_pairs(spark, sf_dir):
 
 
 def q_embedding_lsh_topk(spark, sf_dir):
-    """Approximate ANN: SRP-bucketed candidates + exact cosine re-rank
-    (rows-only: hyperplane family is engine-defined)."""
+    """Approximate ANN: SRP-bucketed candidates + exact cosine re-rank.
+    ORACLED against the exact brute-force top-5 SQL: the re-rank is exact
+    cosine, so the output equals exact top-k whenever the candidate set
+    covers it — at the test-scale config (3 planes, 24 tables; the fixture
+    is unclustered so neighbor cosines are low) coverage is measured 100/100
+    at sf0.001/0.01/0.1. Production configs trade recall for candidates."""
     from fast_er_spark.operators.similarity import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     q = emb.where(F.col("vec_id") < 20)
-    return lsh_topk(q, emb, dim=dim, k=5, n_planes=8, n_tables=8).select(
+    return lsh_topk(q, emb, dim=dim, k=5, n_planes=3, n_tables=24).select(
         F.col("qid").cast("long"), F.col("vid").cast("long"), F.col("rank").cast("int")
     )
 
@@ -563,14 +567,21 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
 
 
 def q_embedding_ivf_topk(spark, sf_dir):
-    """Approximate ANN via an IVF index (coarse k-means cells + n_probe
-    search, exact cosine re-rank). Rows-only: codebook is engine-defined."""
+    """Approximate ANN via an IVF index (coarse k-means cells, multi-assign
+    spill lists, n_probe search, exact cosine re-rank). ORACLED against the
+    exact brute-force top-5 SQL: re-ranking is exact cosine, and at this
+    config (32 cells, probe 16, assign 4 — generous because the fixture is
+    unclustered) the probed cells cover the exact top-5 for every query at
+    sf0.001/0.01/0.1 (measured). Production configs on clustered corpora use
+    far smaller probe/assign."""
     from fast_er_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     q = emb.where(F.col("vec_id") < 20)
-    return ivf_topk(q, emb, dim=dim, k=5, n_cells=32, n_probe=8).select(
+    return ivf_topk(
+        q, emb, dim=dim, k=5, n_cells=32, n_probe=16, n_assign=4
+    ).select(
         F.col("qid").cast("long"), F.col("vid").cast("long"), F.col("rank").cast("int")
     )
 
@@ -826,6 +837,12 @@ ranked AS (
 SELECT CAST(qid AS BIGINT) AS qid, CAST(vid AS BIGINT) AS vid, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 5
 """
+    # approximate ANN paths re-rank candidates with EXACT cosine, and their
+    # test-scale configs cover the exact top-5 (measured 100/100 at
+    # sf0.001/0.01/0.1), so their oracle is the exact top-k itself — the
+    # check fails precisely when candidate recall regresses
+    sqls["embedding_lsh_topk"] = sqls["embedding_topk"]
+    sqls["embedding_ivf_topk"] = sqls["embedding_topk"]
     sqls["embedding_near_dup"] = """
 WITH q AS (
   SELECT vec_id,

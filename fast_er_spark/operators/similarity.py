@@ -267,13 +267,24 @@ def ivf_centroids(
     """Coarse IVF codebook: k-means on a bounded driver-side sample.
 
     The sample cap makes this O(sample * n_cells * iters) regardless of
-    corpus size — the standard IVF training shortcut (codebook quality needs
-    a representative sample, not the full corpus). Deterministic for a fixed
+    corpus size — the standard IVF training shortcut. The sample is the
+    ``sample`` rows with the smallest seeded content hash (top-k by
+    xxhash64), NOT ``limit()``: limit takes the first partitions, and on a
+    corpus laid out by crawl date or language the codebook would only see
+    one region of the embedding space (probe recall silently collapses for
+    the rest). Hash-ordering is uniform over rows, reproducible across
+    partition layouts, and one TakeOrdered pass. Deterministic for a fixed
     seed."""
-    frac_rows = corpus.select(F.col(vec_col).cast("array<double>").alias("v")).limit(
-        sample
-    ).collect()
+    frac_rows = (
+        corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .where(F.col("v").isNotNull())
+        .orderBy(F.xxhash64(F.lit(seed), F.col("v").cast("string")))
+        .limit(sample)
+        .collect()
+    )
     pts = np.array([r["v"] for r in frac_rows], dtype=np.float64)
+    if pts.ndim != 2 or pts.shape[1] != dim:
+        raise ValueError(f"expected {dim}-dim vectors, got shape {pts.shape}")
     pts = pts / np.maximum(np.linalg.norm(pts, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cents = pts[rng.choice(len(pts), size=min(n_cells, len(pts)), replace=False)]
@@ -297,36 +308,42 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 64,
     n_probe: int = 8,
+    n_assign: int = 1,
+    sample: int = 20_000,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index: corpus vectors are
-    assigned to their nearest coarse centroid (one broadcast matmul in an
-    Arrow UDF — no shuffle beyond the final cell join); each query probes its
-    ``n_probe`` nearest cells and exact cosine re-ranks within them. The
-    complement of lsh_topk: data-adaptive cells beat random hyperplanes on
-    clustered embeddings, candidates shrink by ~n_cells/n_probe."""
-    cents = ivf_centroids(corpus, dim, vec_col, n_cells, seed=seed)
+    assigned to their ``n_assign`` nearest coarse centroids (one broadcast
+    matmul in an Arrow UDF — no shuffle beyond the final cell join); each
+    query probes its ``n_probe`` nearest cells and exact cosine re-ranks
+    within them. The complement of lsh_topk: data-adaptive cells beat random
+    hyperplanes on clustered embeddings, candidates shrink by
+    ~n_cells/(n_probe*n_assign). ``n_assign > 1`` replicates each corpus
+    vector into its runner-up cells (IVF spill lists) — index size grows
+    n_assign-fold but boundary vectors stop falling between probed cells,
+    which matters when the corpus is NOT cleanly clustered."""
+    cents = ivf_centroids(corpus, dim, vec_col, n_cells, sample=sample, seed=seed)
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = mat @ cents.T
-        order = np.argsort(-sims, axis=1)[:, :n_probe]
-        return pd.Series([row.astype("int32").tolist() for row in order])
+    def _cells_udf(n_top: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def top_cells(vecs: pd.Series) -> pd.Series:
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cents.T
+            order = np.argsort(-sims, axis=1)[:, :n_top]
+            return pd.Series([row.astype("int32").tolist() for row in order])
 
-    @F.pandas_udf(T.IntegerType())
-    def own_cell(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.to_numpy()).astype(np.float64)
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pd.Series((mat @ cents.T).argmax(axis=1).astype("int32"))
+        return top_cells
+
+    probe_cells = _cells_udf(n_probe)
+    assign_cells = _cells_udf(n_assign)
 
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
     ).withColumn("cell", F.explode(probe_cells(F.col("qv"))))
     c = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("cv")
-    ).withColumn("cell", own_cell(F.col("cv")))
+    ).withColumn("cell", F.explode(assign_cells(F.col("cv"))))
     scored = (
         q.join(c, "cell")
         .where(F.col("qid") != F.col("vid"))

@@ -417,3 +417,37 @@ def test_similarity_ivf_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_similarity_ivf_recall_cluster_ordered_corpus(spark):
+    """Codebook-sample bias regression (round-2 ADVICE): the corpus rows are
+    ordered BY CLUSTER (the worst case for a take-first-partitions sample)
+    and the training sample is far smaller than the corpus. The hash-ordered
+    sample must still see every region of the space, keeping probe recall
+    >=0.8; the old limit()-based sample saw only the first clusters and
+    collapsed on the rest."""
+    import numpy as np
+
+    from fast_er_spark.operators.similarity import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(13)
+    dim, n_clusters, per = 32, 40, 15
+    cents = rng.standard_normal((n_clusters, dim))
+    vecs = np.repeat(cents, per, axis=0) + 0.12 * rng.standard_normal(
+        (n_clusters * per, dim)
+    )
+    n = len(vecs)  # 600, cluster-ordered by construction
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(2).cache()
+    q = df.where("vec_id % 37 = 0")  # queries spread across ALL clusters
+    exact = {(r.qid, r.vid) for r in cosine_topk(q, df, k=5).collect()}
+    approx = {
+        (r.qid, r.vid)
+        for r in ivf_topk(
+            q, df, dim=dim, k=5, n_cells=24, n_probe=5, sample=150
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
