@@ -151,7 +151,10 @@ class Comparison:
                     candidates, block=blk,
                 )
             )
-        if exact_sparse and self.k_fuzzy >= 1 and self.k_exact >= 1:
+        # sparse-engine guard: the analytical exact counts CUBE expands 2^k
+        # combination rows per input row — past ~8 exact variables the dense
+        # path's single union+groupBy is the better plan
+        if exact_sparse and self.k_fuzzy >= 1 and 1 <= self.k_exact <= 8:
             self._fit_sparse(a, b, fuzzy_frames)
             return self
         frames = list(fuzzy_frames)
@@ -229,38 +232,59 @@ class Comparison:
         materialization: for every non-empty subset S of exact variables,
         N>=(S) = sum over joint non-null values of cntA*cntB (pairs agreeing
         on at least S), then Moebius inversion gives pairs agreeing on
-        exactly the subset e. Costs 2^k_exact small aggregations. Blocked
+        exactly the subset e. ONE Spark job: each side aggregates every
+        subset's value histogram in a single CUBE pass (2^k combination rows
+        per input row, partial-aggregated map-side), the two cubes join
+        null-safe per subset, and one collect returns all N>=(S). The old
+        per-subset loop ran 2^k - 1 serial scan+collect jobs. Blocked
         comparisons add the block key to the joint grouping (pairs only
         exist within a block)."""
-        from itertools import combinations
-
         a, b = self._ab
-        blk = ["__block"] if self.blocking_a is not None else []
+        blk = self.blocking_a is not None
         k = self.k_exact
-        n_ge: dict[int, int] = {}
-        for r in range(1, k + 1):
-            for subset in combinations(range(k), r):
-                mask = sum(1 << (k - 1 - i) for i in subset)
-                ca = [self.vars_exact_a[i] for i in subset]
-                cb = [self.vars_exact_b[i] for i in subset]
-                fa = a.select(
-                    *blk,
-                    *[F.col(c).cast("string").alias(f"v{j}") for j, c in enumerate(ca)],
-                )
-                fb = b.select(
-                    *blk,
-                    *[F.col(c).cast("string").alias(f"v{j}") for j, c in enumerate(cb)],
-                )
-                for j in range(len(subset)):
-                    fa = fa.where(F.col(f"v{j}").isNotNull())
-                    fb = fb.where(F.col(f"v{j}").isNotNull())
-                keys = [*blk, *[f"v{j}" for j in range(len(subset))]]
-                ga = fa.groupBy(*keys).agg(F.count(F.lit(1)).alias("na"))
-                gb = fb.groupBy(*keys).agg(F.count(F.lit(1)).alias("nb"))
-                row = ga.join(gb, keys).agg(
-                    F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias("t")
-                ).collect()[0]
-                n_ge[mask] = int(row["t"])
+        if k == 0:
+            return {}
+        vs = [f"v{j}" for j in range(k)]
+        cube_cols = (["__block"] if blk else []) + vs
+
+        def side_cube(df: DataFrame, cols: list[str], cnt: str) -> DataFrame:
+            f = df.select(
+                *(["__block"] if blk else []),
+                *[F.col(c).cast("string").alias(v) for c, v in zip(cols, vs)],
+            )
+            if blk:
+                f = f.where(F.col("__block").isNotNull())
+            g = f.cube(*cube_cols).agg(
+                F.count(F.lit(1)).alias(cnt), F.grouping_id().alias("gid")
+            )
+            # keep only combinations where __block is NOT aggregated out
+            # (grouping_id bit order: first cube column = most significant,
+            # so the block bit is bit k and the v_j bits are k-1 .. 0,
+            # matching the subset-mask convention); drop groups whose
+            # in-subset value is a real NULL (null never agrees)
+            if blk:
+                g = g.where(F.col("gid") < F.lit(1 << k))
+            for j, v in enumerate(vs):
+                in_subset = F.shiftright(F.col("gid"), k - 1 - j).bitwiseAND(F.lit(1)) == 0
+                g = g.where(~in_subset | F.col(v).isNotNull())
+            return g
+
+        ga = side_cube(a, self.vars_exact_a, "na")
+        gb = side_cube(b, self.vars_exact_b, "nb")
+        cond = ga["gid"] == gb["gid"]
+        for v in cube_cols:
+            # null-safe: aggregated-out columns are NULL on both sides
+            cond = cond & ga[v].eqNullSafe(gb[v])
+        joint = (
+            ga.join(gb, cond)
+            .groupBy(ga["gid"])
+            .agg(F.sum(ga["na"] * gb["nb"]).alias("t"))
+            .collect()
+        )
+        full = (1 << k) - 1
+        n_ge = {full ^ int(r["gid"]): int(r["t"]) for r in joint if int(r["gid"]) != full}
+        for t in range(1, 1 << k):
+            n_ge.setdefault(t, 0)  # subsets with no joint non-null values
         exact_counts: dict[int, int] = {}
         for e in range(1, 2**k):
             total = 0
@@ -395,7 +419,8 @@ class Deduplication:
             fuzzy_frames.append(
                 fuzzy_levels_dedup(d, c, "id", p, lower_thr, upper_thr, candidates)
             )
-        if exact_sparse and self.k_fuzzy >= 1 and self.k_exact >= 1:
+        # same 2^k CUBE-expansion guard as Comparison.fit
+        if exact_sparse and self.k_fuzzy >= 1 and 1 <= self.k_exact <= 8:
             self._fit_sparse(d, fuzzy_frames)
             return self
         frames = list(fuzzy_frames)
@@ -451,33 +476,31 @@ class Deduplication:
 
     def _exact_joint_counts(self) -> dict[int, int]:
         """Triangular analogue of Comparison._exact_joint_counts:
-        N>=(S) = sum over joint non-null values of c*(c-1)/2."""
-        from itertools import combinations
-
+        N>=(S) = sum over joint non-null values of c*(c-1)/2. ONE Spark job:
+        a single CUBE pass aggregates every subset's value histogram, a tiny
+        second aggregation by grouping id sums c*(c-1) (exact longs, halved
+        driver-side — a double division would lose precision past 2^53
+        pairs), one collect. The old loop ran 2^k - 1 serial jobs."""
         k = self.k_exact
-        n_ge: dict[int, int] = {}
-        for r in range(1, k + 1):
-            for subset in combinations(range(k), r):
-                mask = sum(1 << (k - 1 - i) for i in subset)
-                cols = [self.vars_exact[i] for i in subset]
-                f = self._d.select(
-                    *[F.col(c).cast("string").alias(f"v{j}") for j, c in enumerate(cols)]
-                )
-                for j in range(len(cols)):
-                    f = f.where(F.col(f"v{j}").isNotNull())
-                # sum c*(c-1) in exact longs, halve driver-side (always even)
-                # — a double division would lose precision past 2^53 pairs
-                row = (
-                    f.groupBy(*[f"v{j}" for j in range(len(cols))])
-                    .agg(F.count(F.lit(1)).alias("c"))
-                    .agg(
-                        F.coalesce(
-                            F.sum(F.col("c") * (F.col("c") - F.lit(1))), F.lit(0)
-                        ).alias("t")
-                    )
-                    .collect()[0]
-                )
-                n_ge[mask] = int(row["t"]) // 2
+        if k == 0:
+            return {}
+        vs = [f"v{j}" for j in range(k)]
+        f = self._d.select(
+            *[F.col(c).cast("string").alias(v) for c, v in zip(self.vars_exact, vs)]
+        )
+        g = f.cube(*vs).agg(F.count(F.lit(1)).alias("c"), F.grouping_id().alias("gid"))
+        for j, v in enumerate(vs):
+            in_subset = F.shiftright(F.col("gid"), k - 1 - j).bitwiseAND(F.lit(1)) == 0
+            g = g.where(~in_subset | F.col(v).isNotNull())
+        rows = (
+            g.groupBy("gid")
+            .agg(F.coalesce(F.sum(F.col("c") * (F.col("c") - F.lit(1))), F.lit(0)).alias("t"))
+            .collect()
+        )
+        full = (1 << k) - 1
+        n_ge = {full ^ int(r["gid"]): int(r["t"]) // 2 for r in rows if int(r["gid"]) != full}
+        for t in range(1, 1 << k):
+            n_ge.setdefault(t, 0)
         exact_counts: dict[int, int] = {}
         for e in range(1, 2**k):
             total = 0

@@ -171,3 +171,64 @@ def test_dedup_sparse_exact_engine_matches_dense(spark):
     pat_sp = {(r.id_a, r.id_b, r.pattern_id) for r in sp.patterns.collect()}
     pat_dn = {(r.id_a, r.id_b, r.pattern_id) for r in dn.patterns.collect()}
     assert pat_sp == pat_dn and pat_sp
+
+
+def test_exact_joint_counts_single_job_and_null_semantics(spark, monkeypatch):
+    """The analytical exact-pattern histogram must issue exactly ONE Spark
+    collect (one CUBE pass), not 2^k - 1 serial jobs, and must match a
+    brute-force python enumeration with k=3 exact variables including NULLs
+    (a NULL never agrees, even with another NULL)."""
+    import itertools
+
+    # Spark 4: pyspark.sql.DataFrame is the abstract facade; the concrete
+    # local class (whose collect() actually runs) lives in sql.classic
+    from pyspark.sql.classic.dataframe import DataFrame as SparkDataFrame
+
+    from fast_er_spark.linkage import Comparison, Deduplication
+
+    rows = []
+    vals = [("x", "1", "a"), ("x", None, "a"), ("y", "1", None), ("x", "1", "a"),
+            ("y", "2", "b"), (None, "2", "b"), ("x", "2", "a"), ("y", "1", "a")]
+    for i, (u, v, w) in enumerate(vals * 3):
+        rows.append((i, f"nm{i % 5}", u, v, w))
+    df = spark.createDataFrame(rows, "rid long, nm string, e1 string, e2 string, e3 string")
+    EX = ["e1", "e2", "e3"]
+
+    def brute_exact_counts(recs, triangular):
+        cnt = {}
+        it = (
+            itertools.combinations(recs, 2)
+            if triangular
+            else itertools.product(recs, recs)
+        )
+        for ra, rb in it:
+            e = 0
+            for j, c in enumerate(EX):
+                if ra[c] is not None and ra[c] == rb[c]:
+                    e |= 1 << (len(EX) - 1 - j)
+            if e:
+                cnt[e] = cnt.get(e, 0) + 1
+        return cnt
+
+    recs = [dict(rid=r[0], e1=r[2], e2=r[3], e3=r[4]) for r in rows]
+
+    comp = Comparison(df, df, ["nm"], ["nm"], EX, EX, id_a="rid", id_b="rid").fit()
+    dedup = Deduplication(df, ["nm"], EX, id_col="rid").fit()
+
+    calls = {"n": 0}
+    orig = SparkDataFrame.collect
+
+    def counted(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(SparkDataFrame, "collect", counted)
+    got_link = comp._exact_joint_counts()
+    assert calls["n"] == 1, f"{calls['n']} collects for the linkage histogram"
+    calls["n"] = 0
+    got_dedup = dedup._exact_joint_counts()
+    assert calls["n"] == 1, f"{calls['n']} collects for the dedup histogram"
+    monkeypatch.setattr(SparkDataFrame, "collect", orig)
+
+    assert got_link == brute_exact_counts(recs, triangular=False)
+    assert got_dedup == brute_exact_counts(recs, triangular=True)
