@@ -149,15 +149,27 @@ def streaming_near_dup(
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values("ts", kind="mergesort")
+            # preallocate ONCE per chunk and append by index: the old
+            # per-row np.vstack recopied the whole state matrix for every
+            # arriving doc (O(n^2) memory traffic within a hot bucket)
+            cur = len(ids)
+            arr = np.empty((cur + len(pdf), num_perm), dtype=np.int64)
+            arr[:cur] = sigs
+            pos = cur
             for row in pdf.itertuples(index=False):
                 sig = np.asarray(row.minhash, dtype=np.int64)
-                if len(ids):
-                    est = (sigs == sig[None, :]).mean(axis=1)
+                # the state cap applies DURING the loop too: compare only
+                # against the newest max_bucket_state rows
+                lo = max(0, pos - max_bucket_state)
+                if pos > lo:
+                    est = (arr[lo:pos] == sig[None, :]).mean(axis=1)
                     j = int(est.argmax())
-                    if est[j] >= min_est and ids[j] != row.id:
-                        out.append((int(row.id), int(ids[j]), float(est[j]), band))
+                    if est[j] >= min_est and ids[lo + j] != row.id:
+                        out.append((int(row.id), int(ids[lo + j]), float(est[j]), band))
+                arr[pos] = sig
                 ids.append(int(row.id))
-                sigs = np.vstack([sigs, sig[None, :]])
+                pos += 1
+            sigs = arr
         if len(ids) > max_bucket_state:
             ids = ids[-max_bucket_state:]
             sigs = sigs[-max_bucket_state:]
