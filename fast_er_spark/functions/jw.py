@@ -224,11 +224,14 @@ def jw_bits_batch(a_bytes: list, b_bytes: list, p: float = 0.1) -> np.ndarray:
 
 def _u65_codes(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Object array of str/None -> (uint32 codepoints (B, 65), lengths,
-    clean-row mask). A row is clean when it is pure ASCII with no interior
-    NUL and at most 63 chars — for those rows codepoints == UTF-8 bytes, so
-    the whole conversion is one C-level numpy cast, zero per-element Python.
-    Longer strings truncate into the 65-wide buffer and are flagged dirty
-    (the scalar path re-reads the original)."""
+    clean-row mask). A row is clean when it is pure ASCII with no NUL at all
+    and at most 63 chars — for those rows codepoints == UTF-8 bytes, so
+    the whole conversion is one C-level numpy cast. Longer strings truncate
+    into the 65-wide buffer and are flagged dirty (the scalar path re-reads
+    the original). Interior NULs break the contiguity check; TRAILING NULs
+    are invisible to numpy 'U' storage (dropped like padding), so the
+    recovered count is compared against the real python length — any
+    mismatch routes the row to the byte-exact scalar path."""
     B = len(vals)
     u = np.asarray(vals, dtype="U65")
     codes = u.view(np.uint32).reshape(B, 65)
@@ -238,7 +241,13 @@ def _u65_codes(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     rev_first = nz[:, ::-1].argmax(axis=1)
     last_idx = 65 - 1 - rev_first
     contiguous = np.where(nz.any(axis=1), counts == last_idx + 1, True)
-    clean = contiguous & (counts <= _BIT_MAX) & (codes.max(axis=1) < 128)
+    py_len = np.frompyfunc(len, 1, 1)(vals).astype(np.int64)
+    clean = (
+        contiguous
+        & (counts <= _BIT_MAX)
+        & (codes.max(axis=1) < 128)
+        & (counts == py_len)
+    )
     return codes, counts, clean
 
 

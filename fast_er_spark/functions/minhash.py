@@ -128,11 +128,15 @@ def oph_signature_batch(
 
     Compatible consumer-side with minhash_batch signatures (array<long> of
     length num_perm) but a DIFFERENT hash family — never mix the two in one
-    index.
+    index. A genuine minimum hash equal to 2^64-1 is indistinguishable from
+    the _EMPTY sentinel and would be overwritten by densification —
+    probability 2^-64 per slot, negligible by design.
     """
     K = num_perm
-    if K & (K - 1):
-        raise ValueError("num_perm must be a power of two for OPH")
+    if K < 2 or K & (K - 1):
+        # K=1 would shift a uint64 by 64 (undefined in numpy) and a 1-slot
+        # signature carries no Jaccard information anyway
+        raise ValueError("num_perm must be a power of two >= 2 for OPH")
     shift = np.uint64(64 - K.bit_length() + 1)
     bases = hash_shingles_batch(texts, n, mode, seed)
     R = len(bases)

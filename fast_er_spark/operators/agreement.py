@@ -163,7 +163,15 @@ def default_value_candidates(
         )
     else:
         n_part = max(1, -(-(na * nb) // PAIRS_PER_PARTITION))
-        cand = vals_a.repartition(n_part).crossJoin(F.broadcast(vals_b))
+        # broadcast whichever side is SMALLER: the budget bounds na*nb, not
+        # the sides individually, so a 10 x 1e8 shape stays under budget
+        # while a fixed-side broadcast would ship 1e8 strings (past Spark's
+        # 8 GB broadcast limit). Under the budget min(na, nb) <= sqrt(budget)
+        # (~32k values at the default), always broadcast-safe.
+        if nb <= na:
+            cand = vals_a.repartition(n_part).crossJoin(F.broadcast(vals_b))
+        else:
+            cand = vals_b.repartition(n_part).crossJoin(F.broadcast(vals_a))
     return cand.where(F.col("val_a") < F.col("val_b")) if triangular else cand
 
 

@@ -163,3 +163,25 @@ def test_bit_parallel_hypothesis_parity():
         assert (np.abs(got - want) <= 1e-12).all()
 
     check()
+
+
+def test_trailing_nul_routes_to_scalar_path():
+    """numpy 'U' storage drops trailing U+0000, so 'ab\\x00' looks like 'ab'
+    to the vectorized path — such rows must fall back to the byte-exact
+    scalar implementation (round-2 ADVICE)."""
+    from fast_er_spark.functions.jw import jaro_winkler_bytes
+
+    cases = [
+        ("ab\x00", "ab"),
+        ("ab", "ab\x00"),
+        ("martha\x00\x00", "marhta"),
+        ("a\x00b", "ab"),  # interior NUL (already covered, keep both paths)
+        ("\x00", "\x00"),
+    ]
+    a = pd.Series([c[0] for c in cases])
+    b = pd.Series([c[1] for c in cases])
+    got = jw_batch(a, b).tolist()
+    want = [
+        jaro_winkler_bytes(x.encode("utf-8"), y.encode("utf-8")) for x, y in cases
+    ]
+    assert got == pytest.approx(want)

@@ -88,3 +88,14 @@ def test_oracle_jaccard_consistency():
     b = shingle_set("w1 w2 w3 w4 w6", 3)
     assert jaccard(a, b) == pytest.approx(len(a & b) / len(a | b))
     assert jaccard(set(), set()) == 0.0
+
+
+def test_oph_rejects_degenerate_num_perm():
+    import pandas as pd
+    import pytest
+
+    from fast_er_spark.functions.minhash import oph_signature_batch
+
+    for bad in (1, 3, 0):
+        with pytest.raises(ValueError):
+            oph_signature_batch(pd.Series(["a b c d"]), num_perm=bad)
