@@ -85,6 +85,52 @@ spark.stop()
 """
 
 
+LINKAGE_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+
+master, cores, n = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+exec_mem = sys.argv[4] if len(sys.argv) > 4 else "7g"
+import shutil, tempfile
+pkg_zip = shutil.make_archive(
+    os.path.join(tempfile.mkdtemp(), "fast_er_spark"), "zip",
+    root_dir={repo!r}, base_dir="fast_er_spark",
+)
+spark = (SparkSession.builder.appName("scaling-linkage")
+         .master(master)
+         .config("spark.sql.shuffle.partitions", str(2 * cores))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.driver.memory", "8g")
+         .config("spark.executor.memory", exec_mem)
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.addPyFile(pkg_zip)
+spark.sparkContext.setLogLevel("ERROR")
+from fast_er_spark.linkage import Comparison, Estimation, Linkage
+from fixtures.synth import voters
+
+rows_a, rows_b = voters(n=n, overlap=0.5, seed=42)
+df_a = spark.createDataFrame(pd.DataFrame(rows_a)).localCheckpoint()
+df_b = spark.createDataFrame(pd.DataFrame(rows_b)).localCheckpoint()
+FUZZY = ["last_name", "first_name", "house_number", "street_name"]
+EXACT = ["birth_year"]
+t0 = time.perf_counter()
+comp = Comparison(df_a, df_b, FUZZY, FUZZY, EXACT, EXACT).fit()
+est = Estimation(len(FUZZY), len(EXACT), comp.counts(), seed=13).fit()
+linked = Linkage(None, None, comp, est.ksi).transform(0.85)
+n_linked = linked.count()
+wall = time.perf_counter() - t0
+print(json.dumps({{"master": master, "cores": cores, "docs": n,
+                   "n_linked": n_linked, "wall_sec": round(wall, 2),
+                   "docs_per_sec": round(n / wall, 1)}}))
+spark.stop()
+"""
+
+
 def synth_corpus(path: str, n: int, seed: int = 42) -> None:
     """Vectorized (numpy) corpus generator — same shape as fixtures.synth
     pages (token-salad docs + planted near/exact dups) but fast enough for
@@ -140,16 +186,18 @@ def _steal_sec() -> float:
 
 
 def run_level(master: str, cores: int, data: str, trials: int = 3,
-              exec_mem: str = "7g", scheme: str = "kperm") -> dict:
+              exec_mem: str = "7g", scheme: str = "kperm",
+              template: str | None = None) -> dict:
     """Min-of-N trials with per-trial hypervisor-steal accounting."""
-    script = WORKER.format(repo=REPO)
+    script = (template or WORKER).format(repo=REPO)
+    extra = [exec_mem] if template else [exec_mem, scheme]
     best = None
     samples = []
     for _ in range(trials):
         s0 = _steal_sec()
         out = subprocess.run(
-            [sys.executable, "-c", script, master, str(cores), data, exec_mem, scheme],
-            capture_output=True, text=True, timeout=1800,
+            [sys.executable, "-c", script, master, str(cores), data, *extra],
+            capture_output=True, text=True, timeout=2400,
         )
         stolen = round(_steal_sec() - s0, 1)
         line = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -221,11 +269,37 @@ def _cpu_control_task(seed: int) -> int:
     return len(minhash_batch(texts, num_perm=128, n=3, mode="word", seed=42))
 
 
+def linkage_scaling(n: int, trials: int = 2) -> None:
+    """The reference 100k x 100k linkage workload (scaled to ``n``) at 1 vs
+    4 executors — the north_rule scaling evidence for the LINKAGE engine's
+    shuffles (union+groupBy pattern assembly, JW candidate scoring, CUBE
+    counts), complementing the dedup-job table. Fixed workload at both
+    levels => efficiency = wall_lo / (4 * wall_hi)."""
+    lo_master, lo_cores, hi_master, hi_cores, exec_mem, label = MODES["executors"]
+    lo = run_level(lo_master, lo_cores, str(n), trials=trials,
+                   exec_mem=exec_mem, template=LINKAGE_WORKER)
+    hi = run_level(hi_master, hi_cores, str(n), trials=trials,
+                   exec_mem=exec_mem, template=LINKAGE_WORKER)
+    eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
+    print(json.dumps({
+        "metric": "linkage_scaling_efficiency_Nx4_executors",
+        "topology": label,
+        "n_per_side": n,
+        "low": lo,
+        "high": hi,
+        "efficiency": round(eff, 3),
+        "target": 0.8,
+    }))
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     mode = sys.argv[2] if len(sys.argv) > 2 else "executors"
     if mode == "cpu_control":
         cpu_control()
+        return
+    if mode == "linkage":
+        linkage_scaling(n if len(sys.argv) > 1 else 30_000)
         return
     lo_master, lo_cores, hi_master, hi_cores, exec_mem, label = MODES[mode]
     with tempfile.TemporaryDirectory(prefix="scaling_corpus_") as td:
