@@ -134,30 +134,42 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    method: str = "srp",
     n_planes: int = 8,
     n_tables: int = 16,
+    n_cells: int = 256,
+    n_assign: int = 2,
+    sample: int = 20_000,
     seed: int = 42,
     quantize: int = 100,
     max_bucket_size: int = 4000,
     star_pivots: int = 3,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a > id_b) over an embedding column — the
-    SCALE pair path (SemDeDup-style semantic dedup): SRP-bucketed candidates
-    + exact integer-quantized cosine verification, never the O(N^2)
-    self-join.
+    SCALE pair path (SemDeDup-style semantic dedup): bucketed candidates +
+    exact integer-quantized cosine verification, never the O(N^2) self-join.
 
-    - ONE Arrow UDF pass computes all ``n_tables`` bucket keys per vector
-      (srp_sketch_multi); ONE shuffle keyed on (table, bucket) gathers
-      members; pairs come from the shared clique/star array expression
-      (lsh.bucket_member_pairs), so hot buckets (a mega-cluster of
-      near-identical embeddings) emit a bounded multi-probe star instead of
-      an m^2 clique.
-    - Verification is exact on the quantized vectors (no float compare), so
-      the verified output equals the brute-force quantized twin wherever SRP
-      recall holds: per-pair miss probability is
-      (1 - (1 - acos(cos)/pi)^n_planes)^n_tables — tune (n_planes,
-      n_tables) to the threshold (low thresholds need few planes / more
-      tables; 0.9+ production thresholds collide easily).
+    Two candidate generators, one verify contract:
+
+    - ``method='srp'``: ONE Arrow UDF pass computes all ``n_tables`` SRP
+      bucket keys per vector (srp_sketch_multi). Data-independent; the
+      right default when the corpus is not cleanly clustered. Per-pair miss
+      probability is (1 - (1 - acos(cos)/pi)^n_planes)^n_tables — tune to
+      the threshold (low thresholds need few planes / more tables; 0.9+
+      production thresholds collide easily).
+    - ``method='ivf'``: vectors bucket into their ``n_assign`` nearest
+      coarse k-means cells (ivf_centroids codebook; multi-assignment is the
+      spill-list trick — a near-dup pair straddling a cell boundary still
+      shares a runner-up cell). Data-adaptive; on a CLUSTERED corpus (the
+      semantic-dedup case) cells track real density so buckets are tighter
+      than random hyperplanes at equal recall.
+
+    Both route through ONE shuffle keyed on (table, bucket) and the shared
+    clique/star array expression (lsh.bucket_member_pairs), so hot buckets
+    (a mega-cluster of near-identical embeddings) emit a bounded multi-probe
+    star instead of an m^2 clique. Verification is exact on the quantized
+    vectors (no float compare), so the verified output equals the
+    brute-force quantized twin wherever candidate recall holds.
 
     100 TB design: candidates are O(sum bucket^2 bounded by star caps), the
     two verify joins are plain equi-joins on id (broadcast when the pair
@@ -171,8 +183,26 @@ def embedding_near_dup_pairs(
         eager=False
     )
 
-    sketch = srp_sketch_multi(dim, n_planes, n_tables, seed)
+    if method == "srp":
+        sketch = srp_sketch_multi(dim, n_planes, n_tables, seed)
+    elif method == "ivf":
+        cents = ivf_centroids(corpus, dim, vec_col, n_cells, sample=sample, seed=seed)
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def sketch(vecs: pd.Series) -> pd.Series:
+            mat = np.stack(vecs.to_numpy()).astype(np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(mat @ cents.T), axis=1)[:, :n_assign]
+            return pd.Series(list(order.astype(np.int64)))
+    else:
+        raise ValueError("method must be 'srp' or 'ivf'")
+
     banded = base.select("id", F.posexplode(sketch(F.col("v"))).alias("tbl", "bucket"))
+    if method == "ivf":
+        # the explode position is the assignment RANK, not a table: a pair
+        # straddling a boundary shares the cell at different ranks, so the
+        # bucket key is the cell alone
+        banded = banded.withColumn("tbl", F.lit(0))
     buckets = (
         banded.groupBy("tbl", "bucket")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))

@@ -52,6 +52,23 @@ def test_recall_and_precision_clustered_production_threshold(spark, emb_df):
     assert recall >= 0.99, f"recall {recall} over {len(truth)} pairs"
 
 
+def test_ivf_method_recall_and_precision_clustered(spark, emb_df):
+    """The data-adaptive candidate generator: k-means cells with
+    multi-assignment spill lists. On a clustered corpus (the semantic-dedup
+    case) it must reach the same recall bar as SRP."""
+    df, vecs = emb_df
+    truth = _brute_quantized_pairs(vecs, 0.9)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, dim=32, threshold=0.9, method="ivf", n_cells=16, n_assign=3,
+        ).collect()
+    }
+    assert got <= truth
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.99, f"ivf recall {recall} over {len(truth)} pairs"
+
+
 def test_matches_bruteforce_at_driver_config_sf0001(spark):
     import __spark_entry__ as entry
 
