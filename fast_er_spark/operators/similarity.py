@@ -179,7 +179,12 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).where(F.col("v").isNotNull() & (F.size("v") == dim))
-    qv = base.select("id", quantize_vector("v", quantize).alias("q")).localCheckpoint(
+    # squared norms are per-VECTOR, computed once here — Spark's higher-order
+    # array functions run interpreted, so an O(dim) norm per candidate PAIR
+    # (2x) would triple the verify stage's per-pair cost
+    qcol = quantize_vector("v", quantize)
+    sqn = F.aggregate(qcol, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
+    qv = base.select("id", qcol.alias("q"), sqn.alias("n")).localCheckpoint(
         eager=False
     )
 
@@ -213,20 +218,17 @@ def embedding_near_dup_pairs(
     cand = bucket_member_pairs(buckets, max_bucket_size, star_pivots)
 
     num, den = quantized_cosine_threshold(threshold)
-    a = qv.select(F.col("id").alias("id_a"), F.col("q").alias("qa"))
-    b = qv.select(F.col("id").alias("id_b"), F.col("q").alias("qb"))
+    a = qv.select(F.col("id").alias("id_a"), F.col("q").alias("qa"), F.col("n").alias("na"))
+    b = qv.select(F.col("id").alias("id_b"), F.col("q").alias("qb"), F.col("n").alias("nb"))
     dot = F.aggregate(
         F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    sq = lambda c: F.aggregate(
-        F.col(c), F.lit(0).cast("long"), lambda acc, x: acc + x * x
-    )
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", dot.alias("d"), sq("qa").alias("na"), sq("qb").alias("nb"))
+        .select("id_a", "id_b", dot.alias("d"), "na", "nb")
         .where(
             (F.col("d") > 0)
             & (
