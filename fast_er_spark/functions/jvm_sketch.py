@@ -1,0 +1,104 @@
+"""Runtime-compiled JVM sketch kernel (see jvm/FastErUdfs.java).
+
+The Python signature UDF is the dedup pipeline's dominant corpus-scale cost
+(PERF.md): text crosses JVM -> Arrow -> Python per batch. This module
+compiles the Java OPH kernel with the platform ``javac`` (JDK 17 ships in
+the Spark image), serves it to the session via ``ADD JAR`` +
+``registerJavaFunction``, and exposes a drop-in signature column. Spark
+loads session-added jars into both the driver's and the executors'
+classloaders, so the same path works under local, local-cluster, and
+spark-submit deployments (the jar travels like any --jars artifact).
+
+Everything degrades cleanly: no javac / compile failure / registration
+failure => ``jvm_available() is False`` and callers fall back to the Python
+kernels, so no environment can break the import path.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import tempfile
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["jvm_available", "ensure_jvm_udfs", "oph_signature_jvm"]
+
+_JVM_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jvm")
+_SRC = os.path.join(_JVM_DIR, "FastErUdfs.java")
+_UDF_NAME = "fast_er_oph_signature"
+_jar_path: str | None = None
+_registered: set[int] = set()  # id(sparkSession) that have the UDF
+
+
+def _spark_jars_cp() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "jars", "*")
+
+
+def _build_jar() -> str | None:
+    """Compile FastErUdfs.java once per process; returns the jar path."""
+    global _jar_path
+    if _jar_path and os.path.exists(_jar_path):
+        return _jar_path
+    if shutil.which("javac") is None or shutil.which("jar") is None:
+        return None
+    try:
+        out = tempfile.mkdtemp(prefix="fast_er_jvm_")
+        subprocess.run(
+            ["javac", "-cp", _spark_jars_cp(), "-d", out, _SRC],
+            check=True, capture_output=True, timeout=120,
+        )
+        jar = os.path.join(out, "fast_er_udfs.jar")
+        subprocess.run(
+            ["jar", "cf", jar, "-C", out, "FastErUdfs.class"],
+            check=True, capture_output=True, timeout=60,
+        )
+        _jar_path = jar
+        return jar
+    except Exception:
+        return None
+
+
+def ensure_jvm_udfs(spark: SparkSession) -> bool:
+    """Compile + ADD JAR + register the Java UDF on this session (idempotent).
+    Returns False (no raise) when the JVM path is unavailable."""
+    if id(spark) in _registered:
+        return True
+    jar = _build_jar()
+    if jar is None:
+        return False
+    try:
+        spark.sql(f"ADD JAR '{jar}'")
+        spark.udf.registerJavaFunction(
+            _UDF_NAME, "FastErUdfs", T.ArrayType(T.LongType())
+        )
+        _registered.add(id(spark))
+        return True
+    except Exception:
+        return False
+
+
+def jvm_available(spark: SparkSession) -> bool:
+    return ensure_jvm_udfs(spark)
+
+
+def oph_signature_jvm(
+    text_col, num_perm: int = 128, n: int = 3, seed: int = 42
+) -> Column:
+    """JVM OPH signature column (array<long>, null for blank docs).
+
+    Same ALGORITHM as functions.minhash.oph_signature_batch but a different
+    hash family — never mix JVM and Python signatures in one index. The
+    caller must have run ensure_jvm_udfs(spark) first.
+    """
+    if num_perm < 2 or num_perm & (num_perm - 1):
+        raise ValueError("num_perm must be a power of two >= 2 for OPH")
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.call_udf(
+        _UDF_NAME, col, F.lit(num_perm), F.lit(n), F.lit(seed).cast("long")
+    )

@@ -1,0 +1,132 @@
+/**
+ * JVM-side sketch kernels for fast_er_spark.
+ *
+ * The Arrow-batched Python signature UDF is the dominant corpus-scale cost
+ * of the dedup pipeline (PERF.md): every document's text crosses the
+ * JVM->Arrow->Python boundary and is tokenized/hashed in (vectorized but
+ * still interpreter-bound) numpy. This class keeps the whole
+ * tokenize -> shingle-hash -> one-permutation-MinHash pipeline inside the
+ * executor JVM: no Arrow transfer, no Python worker, JIT-compiled loops.
+ *
+ * Algorithm parity: same ALGORITHM as functions/minhash.py::
+ * oph_signature_batch (one-permutation hashing with rotation densification,
+ * Shrivastava & Li; public algorithm) but a DIFFERENT hash family (FNV-1a
+ * over UTF-8 bytes + splitmix64 finalizer vs Python's seeded blake2b).
+ * Signatures from the two families are mutually incompatible - never mix
+ * them in one LSH index. E[slot match] = Jaccard holds for both; the
+ * verify stage is family-agnostic, so recall contracts are unchanged.
+ *
+ * Empty/blank documents return null (the candidate generator filters them
+ * before signing; a null signature banding-explodes to zero rows).
+ */
+
+import java.util.ArrayList;
+import org.apache.spark.sql.api.java.UDF4;
+
+public class FastErUdfs implements UDF4<String, Integer, Integer, Long, ArrayList<Long>> {
+
+    /** Same odd mixing constants as functions/shingles.py::_MIX. */
+    private static final long[] MIX = {
+        0x9E3779B97F4A7C15L | 1L, 0xC2B2AE3D27D4EB4FL | 1L,
+        0x165667B19E3779F9L | 1L, 0x27D4EB2F165667C5L | 1L,
+        0x85EBCA77C2B2AE63L | 1L, 0x2545F4914F6CDD1DL | 1L,
+        0xFF51AFD7ED558CCDL | 1L, 0xC4CEB9FE1A85EC53L | 1L,
+    };
+    private static final long EMPTY = -1L; // unsigned 2^64-1 sentinel
+    private static final long ODD = 0x9E3779B97F4A7C15L | 1L;
+
+    private static long splitmix64(long z) {
+        z += 0x9E3779B97F4A7C15L;
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L;
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL;
+        return z ^ (z >>> 31);
+    }
+
+    /** FNV-1a over UTF-8 bytes of [from, to) + splitmix finalizer. */
+    private static long tokenHash(String s, int from, int to, long seed) {
+        long h = 0xCBF29CE484222325L ^ seed;
+        for (int i = from; i < to; i++) {
+            char c = s.charAt(i);
+            // inline UTF-8 encoding (tokens are overwhelmingly ASCII)
+            if (c < 0x80) {
+                h = (h ^ c) * 0x100000001B3L;
+            } else if (c < 0x800) {
+                h = (h ^ (0xC0 | (c >> 6))) * 0x100000001B3L;
+                h = (h ^ (0x80 | (c & 0x3F))) * 0x100000001B3L;
+            } else {
+                h = (h ^ (0xE0 | (c >> 12))) * 0x100000001B3L;
+                h = (h ^ (0x80 | ((c >> 6) & 0x3F))) * 0x100000001B3L;
+                h = (h ^ (0x80 | (c & 0x3F))) * 0x100000001B3L;
+            }
+        }
+        return splitmix64(h);
+    }
+
+    /**
+     * OPH signature of the word-mode n-gram shingle multiset.
+     * numPerm must be a power of two >= 2 (checked Python-side too).
+     */
+    public static long[] ophSignature(String text, int numPerm, int n, long seed) {
+        if (text == null) return null;
+        int len = text.length();
+        int shift = 64 - Integer.numberOfTrailingZeros(numPerm);
+
+        long[] sig = new long[numPerm];
+        java.util.Arrays.fill(sig, EMPTY);
+
+        // tokenize on whitespace + hash each token, streaming
+        long[] toks = new long[32];
+        int nTok = 0;
+        int i = 0;
+        while (i < len) {
+            while (i < len && Character.isWhitespace(text.charAt(i))) i++;
+            if (i >= len) break;
+            int start = i;
+            while (i < len && !Character.isWhitespace(text.charAt(i))) i++;
+            if (nTok == toks.length) toks = java.util.Arrays.copyOf(toks, nTok * 2);
+            toks[nTok++] = tokenHash(text, start, i, seed);
+        }
+        if (nTok == 0) return null;
+
+        // sliding n-gram combine (shingles < n tokens: one whole-doc shingle),
+        // each shingle hash goes straight into its OPH bucket (duplicates
+        // cannot change a min, so no distinct pass is needed)
+        int nEff = Math.min(n, nTok);
+        int w = nTok - nEff + 1;
+        for (int p = 0; p < w; p++) {
+            long h = 0;
+            for (int k = 0; k < nEff; k++) h += MIX[k] * toks[p + k];
+            int b = (int) (h >>> shift);
+            if (Long.compareUnsigned(h, sig[b]) < 0) sig[b] = h;
+        }
+
+        // rotation densification: two right-to-left passes give every empty
+        // slot its circularly-next non-empty donor + distance offset
+        long[] dense = sig.clone();
+        long fillVal = EMPTY;
+        long fillDist = 0;
+        for (int pass = 0; pass < 2; pass++) {
+            for (int k = numPerm - 1; k >= 0; k--) {
+                if (sig[k] != EMPTY) {
+                    fillVal = sig[k];
+                    fillDist = 0;
+                } else {
+                    fillDist++;
+                }
+                if (dense[k] == EMPTY && fillVal != EMPTY) {
+                    dense[k] = fillVal + fillDist * ODD;
+                }
+            }
+        }
+        return dense;
+    }
+
+    @Override
+    public ArrayList<Long> call(String text, Integer numPerm, Integer n, Long seed) {
+        long[] sig = ophSignature(text, numPerm, n, seed);
+        if (sig == null) return null;
+        ArrayList<Long> out = new ArrayList<>(sig.length);
+        for (long v : sig) out.add(v);
+        return out;
+    }
+}

@@ -58,13 +58,28 @@ def with_minhash_signature(
     out_col: str = "minhash",
     scheme: str = "kperm",
 ) -> DataFrame:
-    """Add an ArrayType(LongType) MinHash signature column (Arrow-vectorized
-    pandas_udf). ``scheme='kperm'`` is the classic K-permutation family;
-    ``scheme='oph'`` is one-permutation hashing with rotation densification —
-    O(shingles) instead of O(K * shingles) per doc (~2x signature
-    throughput), same E[slot match] = Jaccard, the pipeline's production
-    default. The two families produce incompatible signatures — never mix
-    them in one index."""
+    """Add an ArrayType(LongType) MinHash signature column.
+
+    - ``scheme='kperm'``: classic K-permutation family (Arrow pandas_udf).
+    - ``scheme='oph'``: one-permutation hashing with rotation densification
+      (Arrow pandas_udf) — O(shingles) instead of O(K * shingles) per doc.
+    - ``scheme='oph_jvm'``: the same OPH algorithm compiled INSIDE the
+      executor JVM (functions/jvm_sketch.py): no Arrow transfer, no Python
+      worker — the fastest signature path where a JDK is present
+      (word mode only; falls back to 'oph' when javac is unavailable).
+
+    Every scheme keeps E[slot match] = Jaccard; the THREE families produce
+    mutually incompatible signatures — never mix them in one index."""
+    if scheme == "oph_jvm":
+        from ..functions.jvm_sketch import ensure_jvm_udfs, oph_signature_jvm
+
+        if mode != "word":
+            raise ValueError("oph_jvm supports word mode only")
+        if ensure_jvm_udfs(df.sparkSession):
+            return df.withColumn(
+                out_col, oph_signature_jvm(text_col, num_perm, n, seed)
+            )
+        scheme = "oph"  # no JDK in this environment
     batch = {"kperm": minhash_batch, "oph": oph_signature_batch}[scheme]
 
     @F.pandas_udf(T.ArrayType(T.LongType()))

@@ -22,7 +22,7 @@ from __future__ import annotations
 import hashlib
 import json
 import time
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,10 +48,13 @@ class DedupConfig:
     rows_per_band: int = 4
     ngram: int = 3
     mode: str = "word"
-    # 'oph' (one-permutation hashing + rotation densification) is ~2x the
-    # signature throughput of 'kperm' at the same banding recall; the
-    # signature UDF is the dominant corpus-scale cost (PERF.md)
-    sketch: str = "oph"
+    # 'auto' resolves to 'oph_jvm' (the compiled executor-JVM kernel, ~6x
+    # the Python signature stage, PERF.md round 3) when a JDK is present,
+    # else 'oph' (one-permutation hashing + rotation densification, ~2x
+    # 'kperm'); the signature UDF is the dominant corpus-scale cost.
+    # Signature families are mutually incompatible — a resumed run must use
+    # the same resolved scheme (the resolved value enters fingerprint()).
+    sketch: str = "auto"
     threshold: float = 0.8
     seed: int = 42
     max_bucket_size: int = 2000
@@ -103,6 +106,16 @@ class DedupPipeline:
     ):
         self.spark = spark
         self.config = config or DedupConfig()
+        if self.config.sketch == "auto":
+            # resolve BEFORE fingerprinting: signature families are mutually
+            # incompatible, so a resume must bind to the resolved scheme
+            # (an 'auto' fingerprint would silently mix families when the
+            # same workdir is reused from a JDK-less machine)
+            from .functions.jvm_sketch import jvm_available
+
+            self.config = replace(
+                self.config, sketch="oph_jvm" if jvm_available(spark) else "oph"
+            )
         self.catalog = StageCatalog(spark, workdir, iceberg_catalog)
         self.fp = self.config.fingerprint()
         self.results: list[StageResult] = []

@@ -50,7 +50,8 @@ def main() -> None:
     ap.add_argument("--substring-min-span", type=int, default=96,
                     help="exact shared-span (LCS) a substring candidate must "
                          "prove before it may merge clusters; 0 disables")
-    ap.add_argument("--sketch", choices=["oph", "kperm"], default="oph",
+    ap.add_argument("--sketch", choices=["auto", "oph", "oph_jvm", "kperm"],
+                    default="auto",
                     help="MinHash family: one-permutation hashing (2x "
                          "throughput) or classic k-perm")
     ap.add_argument("--pregroup-exact", action="store_true",

@@ -21,7 +21,10 @@ The measured job is the full dedup core: MinHash signatures -> LSH banding ->
 candidate generation -> exact-Jaccard verify -> connected components, on a
 deterministic synthetic corpus (vectorized generator below).
 
-Usage: python scripts/scaling_bench.py [n_docs] [executors|threads]
+Usage: python scripts/scaling_bench.py [n_docs] [executors|threads|linkage|cpu_control] [scheme]
+``scheme`` (dedup modes only): kperm | oph | oph_jvm (compiled executor-JVM
+kernel; requires a JDK on the driver — the jar ships to executors via the
+session file server exactly like --jars).
 Prints one JSON line; recorded in BASELINE.md.
 """
 
@@ -301,12 +304,13 @@ def main() -> None:
     if mode == "linkage":
         linkage_scaling(n if len(sys.argv) > 1 else 30_000)
         return
+    scheme = sys.argv[3] if len(sys.argv) > 3 else "kperm"
     lo_master, lo_cores, hi_master, hi_cores, exec_mem, label = MODES[mode]
     with tempfile.TemporaryDirectory(prefix="scaling_corpus_") as td:
         data = os.path.join(td, "corpus.parquet")
         synth_corpus(data, n)
-        lo = run_level(lo_master, lo_cores, data, exec_mem=exec_mem)
-        hi = run_level(hi_master, hi_cores, data, exec_mem=exec_mem)
+        lo = run_level(lo_master, lo_cores, data, exec_mem=exec_mem, scheme=scheme)
+        hi = run_level(hi_master, hi_cores, data, exec_mem=exec_mem, scheme=scheme)
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
     print(json.dumps({
         "metric": f"dedup_scaling_efficiency_Nx4_{mode}",

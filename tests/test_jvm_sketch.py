@@ -1,0 +1,93 @@
+"""JVM OPH signature kernel: registration, determinism, unbiased Jaccard
+estimation, and the same >=0.99 recall gate as the Python families through
+the identical band/verify path. All tests skip cleanly where no JDK is
+present (the kernel itself falls back to the Python 'oph' scheme there)."""
+
+import numpy as np
+import pytest
+
+from oracle.reference import jaccard_dup_pairs, shingle_set
+
+
+@pytest.fixture(scope="module")
+def jvm(spark):
+    from fast_er_spark.functions.jvm_sketch import ensure_jvm_udfs
+
+    if not ensure_jvm_udfs(spark):
+        pytest.skip("no JDK (javac/jar) in this environment")
+    return True
+
+
+def test_determinism_and_null_contract(spark, jvm):
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.functions.jvm_sketch import oph_signature_jvm
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "   "), (3, None), (4, "x")],
+        "id long, text string",
+    )
+    col = oph_signature_jvm("text", 32, 3, 42)
+    r1 = {r["id"]: r["s"] for r in df.select("id", col.alias("s")).collect()}
+    r2 = {r["id"]: r["s"] for r in df.select("id", col.alias("s")).collect()}
+    assert r1 == r2
+    assert r1[2] is None and r1[3] is None  # blank/None -> null signature
+    assert len(r1[1]) == 32 and len(r1[4]) == 32  # short doc: whole-doc shingle
+
+
+def test_estimator_unbiased_vs_true_jaccard(spark, jvm):
+    """E[slot match] = Jaccard must hold for the JVM hash family too."""
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.functions.jvm_sketch import oph_signature_jvm
+
+    rng = np.random.default_rng(9)
+    vocab = np.array([f"w{i:04d}" for i in range(2000)])
+    pairs = []
+    for _ in range(120):
+        a = vocab[rng.integers(0, 2000, 170)]
+        b = a.copy()
+        idx = rng.integers(0, len(b), rng.integers(1, 50))
+        b[idx] = vocab[rng.integers(0, 2000, len(idx))]
+        pairs.append((" ".join(a), " ".join(b)))
+    rows = [(i, p[0]) for i, p in enumerate(pairs)] + [
+        (i + len(pairs), p[1]) for i, p in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    sig = {
+        r["id"]: np.asarray(r["s"])
+        for r in df.select("id", oph_signature_jvm("text", 128, 3, 42).alias("s")).collect()
+    }
+    errs = []
+    for i, (x, y) in enumerate(pairs):
+        est = (sig[i] == sig[i + len(pairs)]).mean()
+        A, B = shingle_set(x, 3, "word"), shingle_set(y, 3, "word")
+        errs.append(est - len(A & B) / len(A | B))
+    errs = np.array(errs)
+    assert abs(errs.mean()) < 0.02, errs.mean()
+    assert errs.std() < 0.08, errs.std()
+
+
+def test_oph_jvm_lsh_verified_pairs_recall(spark, jvm):
+    """The JVM scheme must clear the same recall gate as kperm/oph through
+    the identical band/verify path (verification is family-agnostic)."""
+    from fixtures.synth import pages
+
+    from fast_er_spark.operators.lsh import lsh_candidate_pairs
+    from fast_er_spark.operators.verify import verify_pairs_jaccard
+
+    rows, _, _ = pages(n=600, seed=23)
+    data = [(r["doc_id"], r["text"]) for r in rows]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    id_text = {i: t for i, t in data}
+
+    cand = lsh_candidate_pairs(
+        df, "doc_id", "text", num_perm=128, bands=32, rows_per_band=4,
+        n=3, seed=42, scheme="oph_jvm",
+    )
+    verified = verify_pairs_jaccard(cand, df, "doc_id", "text", n=3, threshold=0.8)
+    got = {(int(r.id_a), int(r.id_b)) for r in verified.collect()}
+    want = jaccard_dup_pairs(id_text, n=3, mode="word", threshold=0.8)
+    assert got <= want, f"false positives: {sorted(got - want)[:5]}"
+    recall = len(got & want) / len(want)
+    assert recall >= 0.99, f"recall {recall:.4f} ({len(want) - len(got)} missed)"
