@@ -25,11 +25,15 @@ from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["jvm_available", "ensure_jvm_udfs", "oph_signature_jvm"]
+__all__ = ["jvm_available", "ensure_jvm_udfs", "oph_signature_jvm", "jw_level_jvm"]
 
 _JVM_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jvm")
-_SRC = os.path.join(_JVM_DIR, "FastErUdfs.java")
+_SRCS = [
+    os.path.join(_JVM_DIR, "FastErUdfs.java"),
+    os.path.join(_JVM_DIR, "JwUdfs.java"),
+]
 _UDF_NAME = "fast_er_oph_signature"
+_JW_UDF_NAME = "fast_er_jw_level"
 _jar_path: str | None = None
 _registered: set[int] = set()  # id(sparkSession) that have the UDF
 
@@ -50,14 +54,15 @@ def _build_jar() -> str | None:
     try:
         out = tempfile.mkdtemp(prefix="fast_er_jvm_")
         subprocess.run(
-            ["javac", "-cp", _spark_jars_cp(), "-d", out, _SRC],
+            ["javac", "-cp", _spark_jars_cp(), "-d", out, *_SRCS],
             check=True, capture_output=True, timeout=120,
         )
         jar = os.path.join(out, "fast_er_udfs.jar")
-        subprocess.run(
-            ["jar", "cf", jar, "-C", out, "FastErUdfs.class"],
-            check=True, capture_output=True, timeout=60,
-        )
+        classes = [f for f in os.listdir(out) if f.endswith(".class")]
+        cmd = ["jar", "cf", jar]
+        for c in classes:
+            cmd += ["-C", out, c]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=60)
         _jar_path = jar
         return jar
     except Exception:
@@ -77,6 +82,7 @@ def ensure_jvm_udfs(spark: SparkSession) -> bool:
         spark.udf.registerJavaFunction(
             _UDF_NAME, "FastErUdfs", T.ArrayType(T.LongType())
         )
+        spark.udf.registerJavaFunction(_JW_UDF_NAME, "JwUdfs", T.IntegerType())
         _registered.add(id(spark))
         return True
     except Exception:
@@ -101,4 +107,18 @@ def oph_signature_jvm(
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.call_udf(
         _UDF_NAME, col, F.lit(num_perm), F.lit(n), F.lit(seed).cast("long")
+    )
+
+
+def jw_level_jvm(val_a, val_b, p: float, lower: float, upper: float) -> Column:
+    """Banded Jaro-Winkler level (0/1/2) computed in the executor JVM with
+    byte-exact reference semantics (see jvm/JwUdfs.java — the float
+    operation order mirrors functions.jw.jaro_winkler_bytes, so levels can
+    never disagree with the Python kernels). The caller must have run
+    ensure_jvm_udfs(spark) first."""
+    a = F.col(val_a) if isinstance(val_a, str) else val_a
+    b = F.col(val_b) if isinstance(val_b, str) else val_b
+    return F.call_udf(
+        _JW_UDF_NAME, a, b,
+        F.lit(float(p)), F.lit(float(lower)), F.lit(float(upper)),
     )

@@ -1,0 +1,82 @@
+/**
+ * Reference-faithful Jaro-Winkler banded level, computed inside the
+ * executor JVM.
+ *
+ * Exact semantics of functions/jw.py::jaro_winkler_bytes (itself the
+ * byte-exact re-derivation of the reference GPU kernel,
+ * /root/reference/faster/comparison.py:11-131): per-UTF-8-BYTE comparison,
+ * max(len)/2 - 1 match window (the 1-char-strings-score-0 quirk included),
+ * greedy first-free matcher, transpositions halved, UNCONDITIONAL Winkler
+ * prefix boost capped at 4. Floating-point operation ORDER mirrors the
+ * Python line-for-line, so IEEE-754 doubles come out bit-identical and the
+ * banded level (2 if s >= upper, 1 if s >= lower, else 0) can never
+ * disagree with the Python kernels.
+ *
+ * Null or empty on either side scores 0.0 (level 0) - same as the Python
+ * batch path.
+ */
+
+import java.nio.charset.StandardCharsets;
+import org.apache.spark.sql.api.java.UDF5;
+
+public class JwUdfs implements UDF5<String, String, Double, Double, Double, Integer> {
+
+    public static double jaroWinkler(byte[] s1, byte[] s2, double p) {
+        int l1 = s1.length, l2 = s2.length;
+        if (l1 == 0 || l2 == 0) return 0.0;
+
+        int maxDist = Math.max(l1, l2) / 2 - 1;
+        boolean[] h1 = new boolean[l1];
+        boolean[] h2 = new boolean[l2];
+        int match = 0;
+        for (int i = 0; i < l1; i++) {
+            byte c = s1[i];
+            int j0 = i - maxDist; if (j0 < 0) j0 = 0;
+            int j1 = i + maxDist + 1; if (j1 > l2) j1 = l2;
+            for (int j = j0; j < j1; j++) {
+                if (c == s2[j] && !h2[j]) {
+                    h1[i] = true;
+                    h2[j] = true;
+                    match++;
+                    break;
+                }
+            }
+        }
+        if (match == 0) return 0.0;
+
+        int t = 0, point = 0;
+        for (int i = 0; i < l1; i++) {
+            if (h1[i]) {
+                while (!h2[point]) point++;
+                if (s1[i] != s2[point]) t++;
+                point++;
+            }
+        }
+        double halfT = t / 2.0;
+        double jaro = ((double) match / l1 + (double) match / l2
+                       + (match - halfT) / match) / 3.0;
+
+        int prefix = 0;
+        int pmax = Math.min(Math.min(l1, l2), 4);
+        for (int i = 0; i < pmax; i++) {
+            if (s1[i] == s2[i]) prefix++;
+            else break;
+        }
+        return jaro + p * prefix * (1.0 - jaro);
+    }
+
+    public static int level(String a, String b, double p, double lower, double upper) {
+        if (a == null || b == null) return 0;
+        double s = jaroWinkler(
+            a.getBytes(StandardCharsets.UTF_8),
+            b.getBytes(StandardCharsets.UTF_8), p);
+        if (s >= upper) return 2;
+        if (s >= lower) return 1;
+        return 0;
+    }
+
+    @Override
+    public Integer call(String a, String b, Double p, Double lower, Double upper) {
+        return level(a, b, p, lower, upper);
+    }
+}

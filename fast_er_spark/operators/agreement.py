@@ -116,9 +116,14 @@ def char_lsh_value_candidates(
 # overhead (signatures, banding, hot buckets) costs more than it saves —
 # especially on high-baseline-similarity value sets where LSH prunes little.
 AUTO_LSH_PAIRS_PER_CORE = 32_000_000
-# JW UDF stage sizing: ~250k pairs/partition keeps tasks ~1-2 s on one core
-# without fanning a small cross into hundreds of tiny scheduled stages
+# JW UDF stage sizing: pairs/partition keeps tasks ~1-2 s on one core
+# without fanning a small cross into hundreds of tiny scheduled stages.
+# The Python Arrow kernel scores ~0.25-0.4M pairs/s/core; the compiled JVM
+# kernel is ~10x that, so its tasks carry proportionally more pairs or the
+# stage drowns in per-task scheduling overhead (measured: a 5.6e8-pair
+# cross at 250k pairs/task = 2240 tasks x ~50 ms overhead per fuzzy var).
 PAIRS_PER_PARTITION = 250_000
+PAIRS_PER_PARTITION_JVM = 3_000_000
 
 
 def default_value_candidates(
@@ -126,6 +131,7 @@ def default_value_candidates(
     vals_b: DataFrame,
     triangular: bool = False,
     pair_budget: int | None = None,
+    pairs_per_partition: int = PAIRS_PER_PARTITION,
 ) -> DataFrame:
     """Adaptive candidate frame (val_a, val_b) for fuzzy scoring.
 
@@ -162,7 +168,7 @@ def default_value_candidates(
             # double its level contribution in assemble_patterns
         )
     else:
-        n_part = max(1, -(-(na * nb) // PAIRS_PER_PARTITION))
+        n_part = max(1, -(-(na * nb) // pairs_per_partition))
         # broadcast whichever side is SMALLER: the budget bounds na*nb, not
         # the sides individually, so a 10 x 1e8 shape stays under budget
         # while a fixed-side broadcast would ship 1e8 strings (past Spark's
@@ -183,6 +189,7 @@ def scored_value_pairs(
     upper: float,
     candidates: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
     triangular: bool = False,
+    engine: str = "auto",
 ) -> DataFrame:
     """(val_a, val_b, level) for level > 0, over distinct value frames.
 
@@ -190,13 +197,38 @@ def scored_value_pairs(
     default is adaptive (``default_value_candidates``): reference-exact
     cross product under the per-core pair budget, char-LSH
     pruning above it.
+
+    ``engine``: 'auto' scores with the byte-exact executor-JVM kernel
+    (jvm/JwUdfs.java — float-op-order identical to the Python kernels, so
+    levels can never differ) when a JDK is present, else the Arrow pandas
+    path; 'python' forces the pandas path; 'jvm' requires the JVM path.
     """
+    use_jvm = False
+    if engine in ("auto", "jvm"):
+        from ..functions.jvm_sketch import ensure_jvm_udfs
+
+        use_jvm = ensure_jvm_udfs(vals_a.sparkSession)
+        if engine == "jvm" and not use_jvm:
+            raise RuntimeError("no JDK available for engine='jvm'")
     if candidates is None:
-        cand = default_value_candidates(vals_a, vals_b, triangular)
+        cand = default_value_candidates(
+            vals_a, vals_b, triangular,
+            pairs_per_partition=(
+                PAIRS_PER_PARTITION_JVM if use_jvm else PAIRS_PER_PARTITION
+            ),
+        )
     else:
         cand = candidates(vals_a, vals_b)
         if triangular:
             cand = cand.where(F.col("val_a") < F.col("val_b"))
+    if use_jvm:
+        from ..functions.jvm_sketch import jw_level_jvm
+
+        return (
+            cand.withColumn("level", jw_level_jvm("val_a", "val_b", p, lower, upper))
+            .where(F.col("level") > 0)
+            .select("val_a", "val_b", "level")
+        )
     lvl = _jw_levels_udf(p, lower, upper)
     return (
         cand.withColumn("level", lvl(F.col("val_a"), F.col("val_b")))

@@ -68,6 +68,42 @@ def test_estimator_unbiased_vs_true_jaccard(spark, jvm):
     assert errs.std() < 0.08, errs.std()
 
 
+def test_jw_level_jvm_parity_with_scalar_reference(spark, jvm):
+    """The JVM banded JW level must agree with the Python scalar reference
+    kernel on every pair — ASCII, unicode (per-UTF-8-byte semantics), empty,
+    1-char window quirk, NUL-bearing, long strings."""
+    import random
+
+    from fast_er_spark.functions.jvm_sketch import jw_level_jvm
+    from fast_er_spark.functions.jw import discretize, jaro_winkler_bytes
+
+    rng = random.Random(31)
+    alphabet = "abcdefgh é中\x001"
+    cases = [("", ""), ("a", "a"), ("ab", "ab"), ("martha", "marhta"),
+             ("dwayne", "duane"), ("a\x00b", "ab"), ("ab\x00", "ab"),
+             ("école", "ecole"), ("中文", "中文x")]
+    for _ in range(400):
+        la, lb = rng.randint(0, 12), rng.randint(0, 12)
+        cases.append(
+            ("".join(rng.choice(alphabet) for _ in range(la)),
+             "".join(rng.choice(alphabet) for _ in range(lb)))
+        )
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)], "i long, a string, b string"
+    )
+    got = {
+        r["i"]: r["lvl"]
+        for r in df.select(
+            "i", jw_level_jvm("a", "b", 0.1, 0.88, 0.94).alias("lvl")
+        ).collect()
+    }
+    for i, (a, b) in enumerate(cases):
+        want = discretize(
+            jaro_winkler_bytes(a.encode("utf-8"), b.encode("utf-8"), 0.1), 0.88, 0.94
+        )
+        assert got[i] == want, (a, b, got[i], want)
+
+
 def test_oph_jvm_lsh_verified_pairs_recall(spark, jvm):
     """The JVM scheme must clear the same recall gate as kperm/oph through
     the identical band/verify path (verification is family-agnostic)."""
