@@ -25,7 +25,13 @@ from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["jvm_available", "ensure_jvm_udfs", "oph_signature_jvm", "jw_level_jvm"]
+__all__ = [
+    "jvm_available",
+    "ensure_jvm_udfs",
+    "oph_signature_jvm",
+    "jw_level_jvm",
+    "shingle_hashes_jvm",
+]
 
 _JVM_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jvm")
 _SRCS = [
@@ -34,6 +40,7 @@ _SRCS = [
 ]
 _UDF_NAME = "fast_er_oph_signature"
 _JW_UDF_NAME = "fast_er_jw_level"
+_SHINGLE_UDF_NAME = "fast_er_shingle_hashes"
 _jar_path: str | None = None
 _registered: set[int] = set()  # id(sparkSession) that have the UDF
 
@@ -83,6 +90,9 @@ def ensure_jvm_udfs(spark: SparkSession) -> bool:
             _UDF_NAME, "FastErUdfs", T.ArrayType(T.LongType())
         )
         spark.udf.registerJavaFunction(_JW_UDF_NAME, "JwUdfs", T.IntegerType())
+        spark.udf.registerJavaFunction(
+            _SHINGLE_UDF_NAME, "FastErUdfs$ShingleHashes", T.ArrayType(T.LongType())
+        )
         _registered.add(id(spark))
         return True
     except Exception:
@@ -108,6 +118,17 @@ def oph_signature_jvm(
     return F.call_udf(
         _UDF_NAME, col, F.lit(num_perm), F.lit(n), F.lit(seed).cast("long")
     )
+
+
+def shingle_hashes_jvm(text_col, n: int = 3, seed: int = 42) -> Column:
+    """Distinct word-mode shingle hashes (sorted array<long>) computed in
+    the executor JVM — the verify-stage twin of
+    functions.shingles.hash_shingles_batch with a different (internal-only)
+    hash family: intersection/union sizes are family-independent, which is
+    all verification consumes. Blank/None -> empty array. The caller must
+    have run ensure_jvm_udfs(spark) first."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.call_udf(_SHINGLE_UDF_NAME, col, F.lit(n), F.lit(seed).cast("long"))
 
 
 def jw_level_jvm(val_a, val_b, p: float, lower: float, upper: float) -> Column:

@@ -129,4 +129,49 @@ public class FastErUdfs implements UDF4<String, Integer, Integer, Long, ArrayLis
         for (long v : sig) out.add(v);
         return out;
     }
+
+    /**
+     * DISTINCT word-mode n-gram shingle hashes (sorted ascending) — the JVM
+     * twin of functions/shingles.py::hash_shingles_batch for the VERIFY
+     * stage. Different hash family than the Python path, which is fine:
+     * verification only intersects hashes computed by THIS function on both
+     * sides, and intersection/union sizes are family-independent (modulo
+     * 2^-64 collisions). Blank/None -> empty list (python contract).
+     */
+    public static class ShingleHashes
+            implements org.apache.spark.sql.api.java.UDF3<String, Integer, Long, ArrayList<Long>> {
+        @Override
+        public ArrayList<Long> call(String text, Integer n, Long seed) {
+            if (text == null) return new ArrayList<>(0);
+            int len = text.length();
+            long[] toks = new long[32];
+            int nTok = 0;
+            int i = 0;
+            while (i < len) {
+                while (i < len && Character.isWhitespace(text.charAt(i))) i++;
+                if (i >= len) break;
+                int start = i;
+                while (i < len && !Character.isWhitespace(text.charAt(i))) i++;
+                if (nTok == toks.length) toks = java.util.Arrays.copyOf(toks, nTok * 2);
+                toks[nTok++] = tokenHash(text, start, i, seed);
+            }
+            if (nTok == 0) return new ArrayList<>(0);
+            int nEff = Math.min(n, nTok);
+            int w = nTok - nEff + 1;
+            long[] hs = new long[w];
+            for (int p = 0; p < w; p++) {
+                long h = 0;
+                for (int k = 0; k < nEff; k++) h += MIX[k] * toks[p + k];
+                hs[p] = h;
+            }
+            java.util.Arrays.sort(hs);
+            ArrayList<Long> out = new ArrayList<>(w);
+            long prev = 0;
+            for (int j = 0; j < w; j++) {
+                if (j == 0 || hs[j] != prev) out.add(hs[j]);
+                prev = hs[j];
+            }
+            return out;
+        }
+    }
 }

@@ -85,6 +85,7 @@ def verify_pairs_jaccard(
     n: int = 3,
     threshold: float = 0.8,
     hashed: bool = True,
+    engine: str = "auto",
 ) -> DataFrame:
     """Keep candidate pairs with exact shingle-Jaccard >= threshold.
 
@@ -95,12 +96,26 @@ def verify_pairs_jaccard(
     ``hashed=True`` (default) intersects 64-bit shingle hashes instead of
     shingle strings — less shuffle and a vectorized build path; a
     cross-shingle hash collision (2^-64 per pair) is the only divergence.
+    ``engine='auto'`` computes the hashes in the executor JVM when a JDK is
+    present (functions/jvm_sketch.py — no Arrow transfer; the hash family
+    differs from the Python path but both sides of every pair use the same
+    one, and intersection/union sizes are family-independent);
+    'python' forces the Arrow pandas hasher.
 
     The doc->shingles frame is checkpointed once: it feeds BOTH join sides,
     and without materialization Spark recomputes it per side (measured 2x).
     """
     if hashed:
-        sh_col = shingle_hashes(text_col, n)
+        sh_col = None
+        if engine in ("auto", "jvm"):
+            from ..functions.jvm_sketch import ensure_jvm_udfs, shingle_hashes_jvm
+
+            if ensure_jvm_udfs(docs.sparkSession):
+                sh_col = shingle_hashes_jvm(text_col, n)
+            elif engine == "jvm":
+                raise RuntimeError("no JDK available for engine='jvm'")
+        if sh_col is None:
+            sh_col = shingle_hashes(text_col, n)
     else:
         sh_col = shingle_array(F.col(text_col), n)
     sh = docs.select(F.col(id_col).alias("id"), sh_col.alias("sh")).localCheckpoint(
