@@ -58,13 +58,20 @@ def q_minhash_lsh_dedup(spark, sf_dir):
 
 def q_token_jaccard_pairs(spark, sf_dir):
     """Brute-force-by-content n-gram Jaccard pairs: shingle explode +
-    self-equi-join on shingle + count — no LSH, the exact path."""
+    self-equi-join on shingle + count — no LSH, the exact path. Shingle
+    hashes come from the executor-JVM kernel when a JDK is present (the
+    output is hash-family-independent: counts of equal-shingle pairs), the
+    Arrow pandas hasher otherwise."""
+    from fast_er_spark.functions.jvm_sketch import ensure_jvm_udfs, shingle_hashes_jvm
     from fast_er_spark.operators.verify import shingle_hashes
 
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select(
-        F.col("doc_id").alias("id"), F.explode(shingle_hashes("text", NGRAM)).alias("g")
+    sh_col = (
+        shingle_hashes_jvm("text", NGRAM)
+        if ensure_jvm_udfs(spark)
+        else shingle_hashes("text", NGRAM)
     )
+    sh = docs.select(F.col("doc_id").alias("id"), F.explode(sh_col).alias("g"))
     sh = (
         sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
         .where(F.col("df") <= HOT_SHINGLE_DF_CAP)
