@@ -67,9 +67,14 @@ def test_events_hourly_partial_aggregation(spark):
 
 
 def test_fuzzy_jw_single_python_stage_and_sized_partitions(spark):
-    """The JW UDF must run EXACTLY once per candidate pair (Catalyst used to
-    split it into filter + project ArrowEvalPython stages = 2x the work),
-    and the cross product partitioning must be explicit, not AQE-coalesced."""
+    """With a JDK present the JW level is a compiled JVM expression — ZERO
+    Python stages in the plan. Without one, the Arrow UDF must run EXACTLY
+    once per candidate pair (Catalyst used to split it into filter + project
+    ArrowEvalPython stages = 2x the work). Partitioning must stay explicit,
+    not AQE-coalesced."""
+    from fast_er_spark.functions.jvm_sketch import jvm_available
+
     df = entry_mod.q_fuzzy_jw_supplier(spark, SF_DIR)
     stats = plan_stats(df)
-    assert stats["python_udfs"] == 1, stats
+    expected_py = 0 if jvm_available(spark) else 1
+    assert stats["python_udfs"] == expected_py, stats
