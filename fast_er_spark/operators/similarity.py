@@ -208,14 +208,45 @@ def embedding_near_dup_pairs(
         # straddling a boundary shares the cell at different ranks, so the
         # bucket key is the cell alone
         banded = banded.withColumn("tbl", F.lit(0))
-    buckets = (
-        banded.groupBy("tbl", "bucket")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    from .lsh import bucket_member_pairs
 
-    cand = bucket_member_pairs(buckets, max_bucket_size, star_pivots)
+    # Pair emission via JOINS, not the text path's per-bucket array
+    # expression: embedding buckets are COARSE (2^n_planes keys per table,
+    # vs 2^64 minhash band buckets), so a bucket routinely holds hundreds of
+    # members and the nested-transform struct construction executes
+    # INTERPRETED per element (measured 9.4 s of a 9.7 s query at sf0.1).
+    # Hash joins stay inside whole-stage codegen. Semantics match
+    # lsh.bucket_member_pairs exactly: full clique for buckets at or under
+    # max_bucket_size, bounded multi-probe star against the star_pivots
+    # lowest-id members for hot buckets.
+    wc = Window.partitionBy("tbl", "bucket")
+    banded = banded.select(
+        "tbl", "bucket", "id",
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+        F.row_number().over(wc.orderBy("id")).alias("rk"),
+    ).localCheckpoint(eager=False)
+    small = banded.where(F.col("cnt") <= max_bucket_size)
+    sa = small.select("tbl", "bucket", F.col("id").alias("id_a"))
+    sb = small.select("tbl", "bucket", F.col("id").alias("id_b"))
+    clique = sa.join(sb, ["tbl", "bucket"]).where(F.col("id_a") > F.col("id_b"))
+    hot = banded.where(F.col("cnt") > max_bucket_size)
+    piv = hot.where(F.col("rk") <= star_pivots).select(
+        "tbl", "bucket", F.col("id").alias("pid")
+    )
+    star = (
+        hot.select("tbl", "bucket", "id")
+        .join(piv, ["tbl", "bucket"])
+        .where(F.col("id") != F.col("pid"))
+        .select(
+            "tbl", "bucket",
+            F.greatest("id", "pid").alias("id_a"),
+            F.least("id", "pid").alias("id_b"),
+        )
+    )
+    cand = (
+        clique.select("id_a", "id_b")
+        .unionByName(star.select("id_a", "id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
     num, den = quantized_cosine_threshold(threshold)
     a = qv.select(F.col("id").alias("id_a"), F.col("q").alias("qa"), F.col("n").alias("na"))
