@@ -42,14 +42,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # ------------------------------------------------------------- dedup family
 def q_minhash_lsh_dedup(spark, sf_dir):
     """MinHash-LSH candidates + exact shingle-Jaccard verification (the scale
-    path). At 32 bands x 4 rows recall at j>=0.8 is 1 - 5e-8, so the result
-    equals the brute-force oracle."""
+    path). At 32 bands x 4 rows recall at j>=0.8 is 1 - 5e-8 FOR ANY MinHash
+    family, and verification fixes precision exactly, so the result equals
+    the brute-force oracle regardless of the signature scheme — the query
+    uses the compiled executor-JVM OPH kernel when a JDK is present and the
+    Arrow kperm kernel otherwise."""
+    from fast_er_spark.functions.jvm_sketch import jvm_available
     from fast_er_spark.operators.lsh import lsh_candidate_pairs
     from fast_er_spark.operators.verify import verify_pairs_jaccard
 
     docs = _t(spark, sf_dir, "documents")
     cand = lsh_candidate_pairs(
-        docs, "doc_id", "text", num_perm=128, bands=32, rows_per_band=4, n=NGRAM, seed=42
+        docs, "doc_id", "text", num_perm=128, bands=32, rows_per_band=4, n=NGRAM,
+        seed=42, scheme="oph_jvm" if jvm_available(spark) else "kperm",
     )
     return verify_pairs_jaccard(cand, docs, "doc_id", "text", n=NGRAM, threshold=0.8).select(
         "id_a", "id_b", "inter_size", "union_size"
