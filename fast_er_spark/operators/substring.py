@@ -40,17 +40,37 @@ def doc_anchors(
     anchor_len: int = 32,
     density: int = 8,
     selector: str = "hash",
+    engine: str = "auto",
 ) -> DataFrame:
-    """(id, anchor) — distinct content-selected fixed-width substrings.
+    """(id, anchor) — distinct content-selected anchors (fixed-width
+    substrings, or their hashes on the JVM path).
 
     ``selector='hash'``: winnowing selection, position kept iff
-    xxhash64(anchor) % density == 0 (pipeline default).
+    hash(window) % density == 0 (pipeline default). With ``engine='auto'``
+    and a JDK present this runs as a true O(n) ROLLING hash in the executor
+    JVM (functions/jvm_sketch.py) emitting anchor HASHES — ~10x the
+    interpreted per-position substring+xxhash64 expression; anchors only
+    join against anchors from the same function and candidates are
+    LCS-verified downstream, so the family switch is internal.
+    ``engine='python'`` forces the declarative expression path.
     ``selector='token_initial'``: position kept iff it starts a whitespace
     token whose first letter is in a..e — equally content-defined
     (alignment-invariant) and expressible in ANSI SQL, used by the
     DuckDB-oracled driver query.
     """
     text = F.col(text_col)
+    if selector == "hash" and engine in ("auto", "jvm"):
+        from ..functions.jvm_sketch import ensure_jvm_udfs, substring_anchors_jvm
+
+        if ensure_jvm_udfs(df.sparkSession):
+            return df.select(
+                F.col(id_col).alias("id"),
+                F.explode(
+                    substring_anchors_jvm(text, anchor_len, density)
+                ).alias("anchor"),
+            )
+        if engine == "jvm":
+            raise RuntimeError("no JDK available for engine='jvm'")
     positions = F.sequence(F.lit(1), F.greatest(F.length(text) - F.lit(anchor_len - 1), F.lit(1)))
     if selector == "hash":
         hashed = F.transform(
@@ -88,6 +108,7 @@ def anchor_pairs(
     density: int = 8,
     max_anchor_freq: int = 1000,
     selector: str = "hash",
+    engine: str = "auto",
 ) -> DataFrame:
     """(id_a, id_b) candidate containment pairs, id_a > id_b.
 
@@ -95,7 +116,7 @@ def anchor_pairs(
     many docs into a star to the min holder (boilerplate guard — same skew
     rationale as LSH hot buckets: bounded fan-out, connectivity kept).
     """
-    anchors = doc_anchors(df, id_col, text_col, anchor_len, density, selector)
+    anchors = doc_anchors(df, id_col, text_col, anchor_len, density, selector, engine)
     # frequency + min holder in one shuffle (window over the anchor key)
     w = Window.partitionBy("anchor")
     anchors = anchors.withColumn("afreq", F.count(F.lit(1)).over(w)).withColumn(

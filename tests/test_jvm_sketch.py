@@ -104,6 +104,31 @@ def test_jw_level_jvm_parity_with_scalar_reference(spark, jvm):
         assert got[i] == want, (a, b, got[i], want)
 
 
+def test_substring_anchors_jvm_alignment_invariant(spark, jvm):
+    """The rolling-hash anchors must be content-defined: a span copied to a
+    DIFFERENT OFFSET in another document selects the same anchors, so the
+    docs share anchor hashes; and the containment pair must surface through
+    anchor_pairs with the JVM engine."""
+    from fast_er_spark.operators.substring import anchor_pairs
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    span = " ".join(rng.choice(vocab, 60))  # ~240 chars shared verbatim
+    docs = []
+    for i in range(40):
+        filler = " ".join(rng.choice(vocab, 80))
+        docs.append((i, filler))
+    # plant the span at different offsets in docs 40 and 41
+    docs.append((40, "xx " + span + " " + " ".join(rng.choice(vocab, 30))))
+    docs.append((41, " ".join(rng.choice(vocab, 25)) + " " + span))
+    df = spark.createDataFrame(docs, "id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in anchor_pairs(df, "id", "text", engine="jvm").collect()
+    }
+    assert (41, 40) in pairs
+
+
 def test_oph_jvm_lsh_verified_pairs_recall(spark, jvm):
     """The JVM scheme must clear the same recall gate as kperm/oph through
     the identical band/verify path (verification is family-agnostic)."""
