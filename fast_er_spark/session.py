@@ -37,6 +37,13 @@ def get_spark(
         # memory 4x smaller). 48g default on the 128 GiB sandbox.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # scan parallelism: the default 128 MB split makes a ~500 MB stage
+        # table read back as ~4 tasks, starving per-row kernel stages (JVM
+        # anchors/signatures) of cores right after every checkpoint read —
+        # measured 62 s vs 14 s for the anchor stage at 500k docs. 16 MB
+        # keeps small stage tables at >= cores tasks; at real corpus scale
+        # files outnumber cores anyway and this setting is irrelevant.
+        .config("spark.sql.files.maxPartitionBytes", "16MB")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
