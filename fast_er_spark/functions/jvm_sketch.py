@@ -32,17 +32,20 @@ __all__ = [
     "jw_level_jvm",
     "shingle_hashes_jvm",
     "substring_anchors_jvm",
+    "lcs_len_jvm",
 ]
 
 _JVM_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jvm")
 _SRCS = [
     os.path.join(_JVM_DIR, "FastErUdfs.java"),
     os.path.join(_JVM_DIR, "JwUdfs.java"),
+    os.path.join(_JVM_DIR, "LcsUdfs.java"),
 ]
 _UDF_NAME = "fast_er_oph_signature"
 _JW_UDF_NAME = "fast_er_jw_level"
 _SHINGLE_UDF_NAME = "fast_er_shingle_hashes"
 _ANCHOR_UDF_NAME = "fast_er_substring_anchors"
+_LCS_UDF_NAME = "fast_er_lcs_len"
 _jar_path: str | None = None
 _registered: set[int] = set()  # id(sparkSession) that have the UDF
 
@@ -98,6 +101,7 @@ def ensure_jvm_udfs(spark: SparkSession) -> bool:
         spark.udf.registerJavaFunction(
             _ANCHOR_UDF_NAME, "FastErUdfs$SubstringAnchors", T.ArrayType(T.LongType())
         )
+        spark.udf.registerJavaFunction(_LCS_UDF_NAME, "LcsUdfs", T.IntegerType())
         _registered.add(id(spark))
         return True
     except Exception:
@@ -150,6 +154,16 @@ def substring_anchors_jvm(
         _ANCHOR_UDF_NAME, col, F.lit(anchor_len), F.lit(density),
         F.lit(seed).cast("long"),
     )
+
+
+def lcs_len_jvm(a_col, b_col, cap: int = 0) -> Column:
+    """Exact longest-common-substring length in the executor JVM
+    (jvm/LcsUdfs.java — algorithm-identical to operators.substring.lcs_len,
+    so spans match the Python path exactly; cap<=0 = uncapped). The caller
+    must have run ensure_jvm_udfs(spark) first."""
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    return F.call_udf(_LCS_UDF_NAME, a, b, F.lit(int(cap)))
 
 
 def jw_level_jvm(val_a, val_b, p: float, lower: float, upper: float) -> Column:

@@ -198,6 +198,7 @@ def verify_anchor_pairs(
     id_col: str,
     text_col: str,
     min_span: int = 96,
+    engine: str = "auto",
 ) -> DataFrame:
     """Keep anchor-candidate pairs whose texts REALLY share a span of at
     least ``min_span`` chars (exact longest-common-substring check).
@@ -210,16 +211,30 @@ def verify_anchor_pairs(
 
     Returns (id_a, id_b, span_len) with span_len capped at min_span (the
     automaton short-circuits once the threshold is reached).
+    ``engine='auto'`` runs the algorithm-identical compiled automaton in the
+    executor JVM when a JDK is present (measured ~8 ms/pair Python vs
+    sub-millisecond compiled); 'python' forces the Arrow pandas path.
     """
+    span_col = None
+    if engine in ("auto", "jvm"):
+        from ..functions.jvm_sketch import ensure_jvm_udfs, lcs_len_jvm
 
-    @F.pandas_udf(T.IntegerType())
-    def span(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                0 if x is None or y is None else lcs_len(x, y, cap=min_span)
-                for x, y in zip(a, b)
-            ]
-        )
+        if ensure_jvm_udfs(docs.sparkSession):
+            span_col = lcs_len_jvm(F.col("t_a"), F.col("t_b"), cap=min_span)
+        elif engine == "jvm":
+            raise RuntimeError("no JDK available for engine='jvm'")
+    if span_col is None:
+
+        @F.pandas_udf(T.IntegerType())
+        def span(a: pd.Series, b: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    0 if x is None or y is None else lcs_len(x, y, cap=min_span)
+                    for x, y in zip(a, b)
+                ]
+            )
+
+        span_col = span(F.col("t_a"), F.col("t_b"))
 
     t = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     a = t.select(F.col("id").alias("id_a"), F.col("t").alias("t_a"))
@@ -227,7 +242,7 @@ def verify_anchor_pairs(
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn("span_len", span(F.col("t_a"), F.col("t_b")))
+        .withColumn("span_len", span_col)
         .where(F.col("span_len") >= F.lit(min_span))
         .select("id_a", "id_b", "span_len")
     )

@@ -129,6 +129,40 @@ def test_substring_anchors_jvm_alignment_invariant(spark, jvm):
     assert (41, 40) in pairs
 
 
+def test_lcs_len_jvm_parity(spark, jvm):
+    """The compiled suffix automaton must return exactly the Python
+    lcs_len on random pairs, with and without the cap short-circuit."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.functions.jvm_sketch import lcs_len_jvm
+    from fast_er_spark.operators.substring import lcs_len
+
+    rng = random.Random(7)
+    cases = [("", ""), ("abc", ""), ("abcdef", "xxabcdyy"), ("aaaa", "aa")]
+    for _ in range(200):
+        n1, n2 = rng.randint(0, 40), rng.randint(0, 40)
+        s1 = "".join(rng.choice("abcd ") for _ in range(n1))
+        s2 = "".join(rng.choice("abcd ") for _ in range(n2))
+        if rng.random() < 0.5 and n1 >= 6 and n2 >= 3:  # plant a shared span
+            k = rng.randint(3, min(10, n1))
+            pos = rng.randint(0, n2)
+            s2 = s2[:pos] + s1[:k] + s2[pos:]
+        cases.append((s1, s2))
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)], "i long, a string, b string"
+    )
+    for cap in (0, 5):
+        got = {
+            r["i"]: r["s"]
+            for r in df.select("i", lcs_len_jvm("a", "b", cap=cap).alias("s")).collect()
+        }
+        for i, (a, b) in enumerate(cases):
+            want = lcs_len(a, b, cap=cap if cap > 0 else None)
+            assert got[i] == want, (a, b, cap, got[i], want)
+
+
 def test_oph_jvm_lsh_verified_pairs_recall(spark, jvm):
     """The JVM scheme must clear the same recall gate as kperm/oph through
     the identical band/verify path (verification is family-agnostic)."""
