@@ -18,6 +18,47 @@ def jvm(spark):
     return True
 
 
+def test_python_fallback_when_no_jdk(spark, monkeypatch):
+    """Every engine='auto' surface must silently run the Python path when
+    the jar cannot be built (JDK-less driver) — simulated by forcing the
+    builder to fail."""
+    import fast_er_spark.functions.jvm_sketch as js
+
+    monkeypatch.setattr(js, "_build_jar", lambda: None)
+    monkeypatch.setattr(js, "_registered", set())
+    assert js.ensure_jvm_udfs(spark) is False
+
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.operators.agreement import scored_value_pairs
+    from fast_er_spark.operators.substring import anchor_pairs, verify_anchor_pairs
+    from fast_er_spark.operators.verify import verify_pairs_jaccard
+
+    va = spark.createDataFrame([("martha",), ("marhta",)], "val_a string")
+    vb = va.select(F.col("val_a").alias("val_b"))
+    got = {
+        (r["val_a"], r["val_b"], r["level"])
+        for r in scored_value_pairs(va, vb, 0.1, 0.88, 0.94, triangular=True).collect()
+    }
+    assert got == {("marhta", "martha", 2)}
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i x")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(2, 1)], "id_a long, id_b long")
+    v = verify_pairs_jaccard(pairs, docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert len(v) == 1
+
+    span_docs = spark.createDataFrame(
+        [(1, "xx " + "q w e r t y " * 20), (2, "q w e r t y " * 20 + " zz")],
+        "id long, text string",
+    )
+    ap = anchor_pairs(span_docs, "id", "text", engine="auto")
+    out = verify_anchor_pairs(ap, span_docs, "id", "text", min_span=50).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(2, 1)}
+
+
 def test_determinism_and_null_contract(spark, jvm):
     from pyspark.sql import functions as F
 
