@@ -122,6 +122,11 @@ def anchor_pairs(
     anchors = anchors.withColumn("afreq", F.count(F.lit(1)).over(w)).withColumn(
         "amin", F.min("id").over(w)
     )
+    # the windowed frame feeds THREE consumers (both clique join sides + the
+    # star branch); without materialization the text scan + anchor kernel +
+    # window shuffle re-execute per consumer (measured 3x the stage wall at
+    # 500k docs)
+    anchors = anchors.localCheckpoint(eager=False)
 
     normal = anchors.where(F.col("afreq") <= max_anchor_freq)
     a = normal.select("anchor", F.col("id").alias("id_a"))
