@@ -495,6 +495,10 @@ def q_simhash_near_pairs(spark, sf_dir):
     bucket exceeds the cap), but hot buckets now degrade to sorted-window
     adjacency instead of being dropped — recall decays gracefully on an
     unbounded corpus instead of collapsing at the 2^16 key-universe ceiling.
+    allow_missed_pairs: the 4/1 rig only GUARANTEES Hamming<=3 collisions
+    (the operator's default 3/6/3 config guarantees its hamming_max; here
+    the 16-bit keys keep test-SF buckets tiny and pairs with diffs in all 4
+    blocks are accepted as best-effort, explicitly opted into).
     Rows-only: hash family engine-defined."""
     from fast_er_spark.operators.simhash_pairs import simhash_near_pairs
 
@@ -502,6 +506,7 @@ def q_simhash_near_pairs(spark, sf_dir):
     return simhash_near_pairs(
         fps, "doc_id", "simhash", hamming_max=6, blocks=4, key_blocks=1,
         max_bucket_size=HOT_SHINGLE_DF_CAP, scan_window=8,
+        allow_missed_pairs=True,
     )
 
 

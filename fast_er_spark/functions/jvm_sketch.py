@@ -20,6 +20,7 @@ import os
 import shutil
 import subprocess
 import tempfile
+import weakref
 
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
@@ -47,7 +48,12 @@ _SHINGLE_UDF_NAME = "fast_er_shingle_hashes"
 _ANCHOR_UDF_NAME = "fast_er_substring_anchors"
 _LCS_UDF_NAME = "fast_er_lcs_len"
 _jar_path: str | None = None
-_registered: set[int] = set()  # id(sparkSession) that have the UDF
+# Sessions that have the UDFs registered. A WeakSet, NOT id()-keyed: after a
+# session is stopped and garbage-collected, CPython can reuse the id for a
+# new session, which would skip registration and make the first call_udf
+# fail with an unresolved-function error. Weak entries vanish with the
+# session object, so a recycled address can never alias a dead session.
+_registered: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def _spark_jars_cp() -> str:
@@ -84,8 +90,11 @@ def _build_jar() -> str | None:
 def ensure_jvm_udfs(spark: SparkSession) -> bool:
     """Compile + ADD JAR + register the Java UDF on this session (idempotent).
     Returns False (no raise) when the JVM path is unavailable."""
-    if id(spark) in _registered:
-        return True
+    try:
+        if spark in _registered:
+            return True
+    except TypeError:
+        pass  # un-weakref-able session: fall through and re-register (idempotent)
     jar = _build_jar()
     if jar is None:
         return False
@@ -102,7 +111,10 @@ def ensure_jvm_udfs(spark: SparkSession) -> bool:
             _ANCHOR_UDF_NAME, "FastErUdfs$SubstringAnchors", T.ArrayType(T.LongType())
         )
         spark.udf.registerJavaFunction(_LCS_UDF_NAME, "LcsUdfs", T.IntegerType())
-        _registered.add(id(spark))
+        try:
+            _registered.add(spark)
+        except TypeError:
+            pass
         return True
     except Exception:
         return False

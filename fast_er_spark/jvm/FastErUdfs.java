@@ -16,8 +16,17 @@
  * them in one LSH index. E[slot match] = Jaccard holds for both; the
  * verify stage is family-agnostic, so recall contracts are unchanged.
  *
- * Empty/blank documents return null (the candidate generator filters them
- * before signing; a null signature banding-explodes to zero rows).
+ * Empty/blank documents return null. The candidate generator filters blank
+ * text before signing, AND band_buckets (operators/lsh.py) drops
+ * null-signature rows — xxhash64 over a null slice would otherwise hash
+ * every null signature to the same constant bucket per band, pairing all
+ * blank docs with each other.
+ *
+ * Non-BMP text: tokenHash encodes surrogate halves as CESU-8 (two 3-byte
+ * sequences) rather than UTF-8's 4-byte form. CESU-8 is injective, so
+ * shingle-set identity — and therefore every intersection/union size the
+ * verify stage consumes — still matches the Python engine exactly; only the
+ * (already family-incompatible) hash values differ.
  */
 
 import java.util.ArrayList;
@@ -34,6 +43,20 @@ public class FastErUdfs implements UDF4<String, Integer, Integer, Long, ArrayLis
     };
     private static final long EMPTY = -1L; // unsigned 2^64-1 sentinel
     private static final long ODD = 0x9E3779B97F4A7C15L | 1L;
+
+    /**
+     * Python's str.split() whitespace set, NOT Java's. Character.isWhitespace
+     * excludes U+0085 (NEL), U+00A0 (NBSP), U+2007 (figure space) and U+202F
+     * (narrow NBSP), all of which Python treats as separators — so without
+     * this the JVM and Python engines would produce different shingle SETS
+     * (hence different Jaccard / intersection / union sizes) on such text.
+     * Whitespace never occurs in surrogate pairs, so char-wise iteration
+     * yields the same token boundaries as code-point iteration.
+     */
+    private static boolean isPyWhitespace(char c) {
+        return Character.isWhitespace(c)
+                || c == '\u0085' || c == '\u00A0' || c == '\u2007' || c == '\u202F';
+    }
 
     private static long splitmix64(long z) {
         z += 0x9E3779B97F4A7C15L;
@@ -79,10 +102,10 @@ public class FastErUdfs implements UDF4<String, Integer, Integer, Long, ArrayLis
         int nTok = 0;
         int i = 0;
         while (i < len) {
-            while (i < len && Character.isWhitespace(text.charAt(i))) i++;
+            while (i < len && isPyWhitespace(text.charAt(i))) i++;
             if (i >= len) break;
             int start = i;
-            while (i < len && !Character.isWhitespace(text.charAt(i))) i++;
+            while (i < len && !isPyWhitespace(text.charAt(i))) i++;
             if (nTok == toks.length) toks = java.util.Arrays.copyOf(toks, nTok * 2);
             toks[nTok++] = tokenHash(text, start, i, seed);
         }
@@ -203,10 +226,10 @@ public class FastErUdfs implements UDF4<String, Integer, Integer, Long, ArrayLis
             int nTok = 0;
             int i = 0;
             while (i < len) {
-                while (i < len && Character.isWhitespace(text.charAt(i))) i++;
+                while (i < len && isPyWhitespace(text.charAt(i))) i++;
                 if (i >= len) break;
                 int start = i;
-                while (i < len && !Character.isWhitespace(text.charAt(i))) i++;
+                while (i < len && !isPyWhitespace(text.charAt(i))) i++;
                 if (nTok == toks.length) toks = java.util.Arrays.copyOf(toks, nTok * 2);
                 toks[nTok++] = tokenHash(text, start, i, seed);
             }

@@ -5,8 +5,13 @@
  * Algorithm mirrors operators/substring.py::lcs_len exactly - same
  * automaton construction, same cap short-circuit (the verifier only needs
  * span >= min_span, and cur_len grows by 1, so the short-circuit returns
- * exactly cap) - so the two engines produce identical span lengths. The
- * Python per-pair cost measured ~8 ms on ~1 KB pages; this runs in the
+ * exactly cap) - so the two engines produce identical span lengths. Both
+ * strings are decoded to CODE POINT arrays first: Python len()/slicing
+ * counts code points, so counting UTF-16 units here would overstate spans
+ * containing astral characters (each counts 2 units but 1 code point) and
+ * break the "spans match exactly" parity claim.
+ *
+ * The Python per-pair cost measured ~8 ms on ~1 KB pages; this runs in the
  * low hundreds of microseconds.
  *
  * cap <= 0 means "no cap" (full maximum).
@@ -17,13 +22,15 @@ import org.apache.spark.sql.api.java.UDF3;
 
 public class LcsUdfs implements UDF3<String, String, Integer, Integer> {
 
-    public static int lcsLen(String a, String b, int cap) {
-        if (a == null || b == null || a.isEmpty() || b.isEmpty()) return 0;
-        if (a.length() > b.length()) { String t = a; a = b; b = t; }
-        int n = a.length();
+    public static int lcsLen(String sa, String sb, int cap) {
+        if (sa == null || sb == null || sa.isEmpty() || sb.isEmpty()) return 0;
+        int[] a = sa.codePoints().toArray();
+        int[] b = sb.codePoints().toArray();
+        if (a.length > b.length) { int[] t = a; a = b; b = t; }
+        int n = a.length;
         int maxStates = 2 * n + 4;
         @SuppressWarnings("unchecked")
-        HashMap<Character, Integer>[] nxt = new HashMap[maxStates];
+        HashMap<Integer, Integer>[] nxt = new HashMap[maxStates];
         int[] link = new int[maxStates];
         int[] len = new int[maxStates];
         nxt[0] = new HashMap<>();
@@ -31,7 +38,7 @@ public class LcsUdfs implements UDF3<String, String, Integer, Integer> {
         len[0] = 0;
         int size = 1, last = 0;
         for (int i = 0; i < n; i++) {
-            char ch = a.charAt(i);
+            int ch = a[i];
             int cur = size++;
             nxt[cur] = new HashMap<>();
             len[cur] = len[last] + 1;
@@ -63,9 +70,9 @@ public class LcsUdfs implements UDF3<String, String, Integer, Integer> {
             last = cur;
         }
         int best = 0, curLen = 0, v = 0;
-        int m = b.length();
+        int m = b.length;
         for (int i = 0; i < m; i++) {
-            char ch = b.charAt(i);
+            int ch = b[i];
             while (v != 0 && !nxt[v].containsKey(ch)) {
                 v = link[v];
                 curLen = len[v];

@@ -97,14 +97,20 @@ def band_buckets(
     rows_per_band: int = 4,
 ) -> DataFrame:
     """(id, band, bucket) — one row per (doc, band); bucket = xxhash64 of the
-    signature slice, computed JVM-side (no UDF)."""
+    signature slice, computed JVM-side (no UDF).
+
+    Rows with a NULL signature emit no buckets: xxhash64 IGNORES a null
+    slice argument, so without the filter every null-signature row would
+    hash to the same constant bucket per band and all such rows (e.g.
+    blank docs under the JVM OPH kernel, FastErUdfs.java) would pair with
+    each other."""
     band_hashes = F.array(
         *[
             F.xxhash64(F.lit(b), F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band))
             for b in range(bands)
         ]
     )
-    return df.select(
+    return df.where(F.col(sig_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.posexplode(band_hashes).alias("band", "bucket")
     )
 

@@ -67,15 +67,32 @@ def simhash_near_pairs(
     df: DataFrame,
     id_col: str,
     fp_col: str,
-    hamming_max: int = 6,
-    blocks: int = 4,
-    key_blocks: int = 1,
-    max_bucket_size: int = 100_000,
+    hamming_max: int = 3,
+    blocks: int = 6,
+    key_blocks: int = 3,
+    max_bucket_size: int = 4000,
     scan_window: int = 8,
+    allow_missed_pairs: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, hamming) with id_a > id_b for pairs within
     ``hamming_max`` that share a table key (see module docstring for the
-    guarantee and the hot-bucket degradation contract)."""
+    guarantee and the hot-bucket degradation contract).
+
+    The MJS collision guarantee requires ``blocks - key_blocks >=
+    min(hamming_max, blocks)``: ``hamming_max`` differing bits can touch up
+    to that many blocks, and a pair only collides if some combination of
+    ``key_blocks`` blocks avoids ALL of them. Defaults (3, 6, 3) are the
+    classic MJS f=64 operating point — C(6,3)=20 tables, ~32-bit keys,
+    every Hamming<=3 pair guaranteed. A configuration that silently misses
+    pairs (e.g. hamming_max=6 with blocks=4: diffs spread over all 4
+    blocks never collide) raises unless ``allow_missed_pairs=True``."""
+    if min(hamming_max, blocks) > blocks - key_blocks and not allow_missed_pairs:
+        raise ValueError(
+            f"(blocks={blocks}, key_blocks={key_blocks}) only guarantees "
+            f"collisions for Hamming <= {blocks - key_blocks}, not "
+            f"hamming_max={hamming_max}; pass allow_missed_pairs=True to "
+            "accept best-effort recall above that"
+        )
     layout = simhash_block_layout(blocks)
     tables = simhash_block_tables(blocks, key_blocks)
 

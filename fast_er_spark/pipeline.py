@@ -133,6 +133,7 @@ class DedupPipeline:
                 StageResult(stage, df.count(), int((time.perf_counter() - t0) * 1000), True)
             )
             return df
+        preexisting = self._persistent_rdd_ids()
         df = build()
         self.catalog.write(df, name)
         out = self.catalog.read(name)
@@ -140,11 +141,17 @@ class DedupPipeline:
         wall = int((time.perf_counter() - t0) * 1000)
         self.results.append(StageResult(stage, rows, wall, False))
         self._record_metrics(stage, out, rows, wall)
-        self._drop_stage_blocks()
+        self._drop_stage_blocks(preexisting)
         return out
 
-    def _drop_stage_blocks(self) -> None:
-        """Unpersist every persistent RDD once a stage table is durable.
+    def _persistent_rdd_ids(self) -> set:
+        try:
+            return set(self.spark.sparkContext._jsc.getPersistentRDDs().keySet())  # noqa: SLF001
+        except Exception:
+            return set()
+
+    def _drop_stage_blocks(self, preexisting: set) -> None:
+        """Unpersist RDDs this stage created once its table is durable.
 
         Stage builds localCheckpoint intermediate frames (verify's shingle
         frame, anchor windows, CC iterations); those blocks stay pinned in
@@ -152,11 +159,17 @@ class DedupPipeline:
         stages' execution memory — measured 15 s -> 28 s for the anchor
         stage once the LSH stages' blocks were resident. Downstream stages
         only consume the durable stage tables, so nothing recomputes.
-        (Operator-internal checkpoints are always created inside a single
-        stage build; no checkpointed frame crosses stage boundaries.)"""
+
+        Only RDDs that appeared DURING the stage build are dropped:
+        unpersisting everything in the context would silently evict
+        caller-owned caches in a shared session, and for a caller's
+        localCheckpoint'ed frame (lineage truncated) later actions would
+        fail with unrecoverable missing-block errors."""
         try:
-            for rdd in self.spark.sparkContext._jsc.getPersistentRDDs().values():  # noqa: SLF001
-                rdd.unpersist()
+            jmap = self.spark.sparkContext._jsc.getPersistentRDDs()  # noqa: SLF001
+            for rid in jmap.keySet():
+                if rid not in preexisting:
+                    jmap.get(rid).unpersist()
         except Exception:
             pass  # cleanup is best-effort; never fail the pipeline for it
 

@@ -204,6 +204,54 @@ def test_lcs_len_jvm_parity(spark, jvm):
             assert got[i] == want, (a, b, cap, got[i], want)
 
 
+def test_jvm_tokenizer_matches_python_whitespace_set(spark, jvm):
+    """Java Character.isWhitespace excludes U+0085/U+00A0/U+2007/U+202F,
+    all of which Python str.split() treats as separators; the kernels use a
+    Python-parity whitespace helper so shingle SETS (hence every
+    intersection/union size the verify stage consumes) agree between the
+    engines. Families differ, so parity is asserted on distinct-set SIZE."""
+    from fast_er_spark.functions.jvm_sketch import shingle_hashes_jvm
+
+    texts = [
+        "alpha beta gamma delta",        # NBSP separator
+        "one two three four five",  # figure + narrow NBSP
+        "nelsplit here and there",      # NEL
+        "plain ascii words only here",
+        "  lead and trail ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r["i"]: len(set(r["h"]))
+        for r in df.select("i", shingle_hashes_jvm("t", n=3, seed=1).alias("h")).collect()
+    }
+    for i, t in enumerate(texts):
+        want = len(shingle_set(t, 3, "word"))
+        assert got[i] == want, (t, got[i], want)
+
+
+def test_lcs_len_jvm_astral_code_points(spark, jvm):
+    """LCS must count CODE POINTS like Python len(), not UTF-16 units: a
+    shared span of n astral chars is n, not 2n."""
+    from fast_er_spark.functions.jvm_sketch import lcs_len_jvm
+    from fast_er_spark.operators.substring import lcs_len
+
+    emoji_run = "\U0001F600\U0001F601\U0001F602\U0001F603"  # 4 code points
+    cases = [
+        ("xx" + emoji_run + "yy", "ab" + emoji_run + "cd"),
+        (emoji_run * 3, emoji_run * 2),
+        ("abc\U0001F600def", "zzz\U0001F600de"),
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(cases)], "i long, a string, b string"
+    )
+    got = {
+        r["i"]: r["s"]
+        for r in df.select("i", lcs_len_jvm("a", "b", cap=0).alias("s")).collect()
+    }
+    for i, (a, b) in enumerate(cases):
+        assert got[i] == lcs_len(a, b, cap=None), (a, b, got[i])
+
+
 def test_oph_jvm_lsh_verified_pairs_recall(spark, jvm):
     """The JVM scheme must clear the same recall gate as kperm/oph through
     the identical band/verify path (verification is family-agnostic)."""

@@ -72,7 +72,8 @@ def test_parity_with_bruteforce(spark, fp_df, blocks, key_blocks):
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in simhash_near_pairs(
-            df, "id", "fp", hamming_max=6, blocks=blocks, key_blocks=key_blocks
+            df, "id", "fp", hamming_max=6, blocks=blocks, key_blocks=key_blocks,
+            allow_missed_pairs=True,
         ).collect()
     }
     assert got == expect and len(expect) > 10
@@ -121,11 +122,19 @@ def test_hot_bucket_recall_does_not_collapse(spark):
         (r["id_a"], r["id_b"])
         for r in simhash_near_pairs(
             df, "id", "fp", hamming_max=6, blocks=4, key_blocks=1,
-            max_bucket_size=64, scan_window=8,
+            max_bucket_size=64, scan_window=8, allow_missed_pairs=True,
         ).collect()
     }
     recall = len(got & want) / len(want)
     assert recall >= 0.95, f"hot-bucket recall {recall}"
+
+
+def test_guarantee_violation_raises(spark):
+    """A config whose MJS guarantee is weaker than hamming_max must be an
+    explicit opt-in, not a silent recall hole."""
+    df = spark.createDataFrame([(0, 1), (1, 2)], "id long, fp long")
+    with pytest.raises(ValueError, match="allow_missed_pairs"):
+        simhash_near_pairs(df, "id", "fp", hamming_max=6, blocks=4, key_blocks=1)
 
 
 def test_no_cross_join_and_no_python(spark, fp_df):

@@ -158,3 +158,20 @@ def test_oph_estimator_unbiased():
     errs = np.array(errs)
     assert abs(errs.mean()) < 0.02, errs.mean()
     assert (errs**2).mean() ** 0.5 < 0.08
+
+
+def test_band_buckets_drops_null_signatures(spark):
+    """xxhash64 ignores a null slice, so without the explicit filter every
+    null-signature row (e.g. blank docs under the JVM OPH kernel) would
+    land in the same constant bucket per band and pair with each other."""
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.operators.lsh import band_buckets
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, None), (3, None)],
+        "id long, minhash array<long>",
+    )
+    out = band_buckets(df, "id", "minhash", bands=2, rows_per_band=2)
+    ids = {r["id"] for r in out.select("id").distinct().collect()}
+    assert ids == {1}
