@@ -250,33 +250,41 @@ def q_linkage_transform(spark, sf_dir):
 
 # ------------------------------------------------------- text analysis ops
 def q_tokenstats(spark, sf_dir):
-    from fast_er_spark.functions.text import distinct_token_count, token_count
+    """token/distinct-token counts via the one-pass text_stats kernel when a
+    JDK is present (jvm/TextUdfs.java), else the expression fallback —
+    values identical, oracle green either way."""
+    from fast_er_spark.functions.jvm_sketch import ensure_jvm_udfs
+    from fast_er_spark.functions.text import text_stats
 
     docs = _t(spark, sf_dir, "documents")
+    st = text_stats(F.col("text"), jvm=ensure_jvm_udfs(spark))
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        token_count(F.col("text")).cast("long").alias("n_tokens"),
-        distinct_token_count(F.col("text")).cast("long").alias("n_distinct"),
+        st[0].alias("n_tokens"),
+        st[1].alias("n_distinct"),
     )
 
 
 def q_quality_scores(spark, sf_dir):
-    from fast_er_spark.functions.text import quality_score
+    from fast_er_spark.functions.jvm_sketch import ensure_jvm_udfs
+    from fast_er_spark.functions.text import quality_score_from_stats, text_stats
 
     docs = _t(spark, sf_dir, "documents")
+    st = text_stats(F.col("text"), jvm=ensure_jvm_udfs(spark))
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        quality_score(F.col("text")).alias("quality"),
+        quality_score_from_stats(st).alias("quality"),
     )
 
 
 def q_doc_fingerprint(spark, sf_dir):
+    from fast_er_spark.functions.jvm_sketch import ensure_jvm_udfs
     from fast_er_spark.functions.text import rolling_fingerprint
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        rolling_fingerprint(F.col("text")).alias("fp"),
+        rolling_fingerprint(F.col("text"), jvm=ensure_jvm_udfs(spark)).alias("fp"),
     )
 
 
@@ -290,21 +298,26 @@ _LANG_MARKERS = {
 
 
 def q_lang_id(spark, sf_dir):
-    """Marker-token language-ID heuristic; argmax with fixed priority order."""
-    from fast_er_spark.functions.text import lang_marker_score
+    """Marker-token language-ID heuristic; argmax with fixed priority order.
+    JVM path: ALL languages counted in one tokenization pass
+    (jvm/TextUdfs.java::MarkerCounts) vs one interpreted F.filter pass per
+    language on the expression fallback — identical counts either way."""
+    from fast_er_spark.functions.jvm_sketch import ensure_jvm_udfs
+    from fast_er_spark.functions.text import lang_marker_counts
 
     docs = _t(spark, sf_dir, "documents")
+    langs = list(_LANG_MARKERS)
+    # both engines lowercase internally (F.lower in the expression path,
+    # Locale.ROOT toLowerCase in the kernel)
+    cnts = lang_marker_counts(F.col("text"), _LANG_MARKERS, jvm=ensure_jvm_udfs(spark))
     scored = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        *[
-            lang_marker_score(F.col("text"), mk).alias(f"s_{lg}")
-            for lg, mk in _LANG_MARKERS.items()
-        ],
+        *[cnts[i].alias(f"s_{lg}") for i, lg in enumerate(langs)],
     )
-    best = F.greatest(*[F.col(f"s_{lg}") for lg in _LANG_MARKERS])
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
     pred = F.lit("en")
     # fixed priority: first language (in sorted key order) reaching the max
-    for lg in reversed(sorted(_LANG_MARKERS)):
+    for lg in reversed(sorted(langs)):
         pred = F.when(F.col(f"s_{lg}") == best, F.lit(lg)).otherwise(pred)
     return scored.select("doc_id", pred.alias("pred_lang"))
 

@@ -34,6 +34,9 @@ __all__ = [
     "shingle_hashes_jvm",
     "substring_anchors_jvm",
     "lcs_len_jvm",
+    "text_stats_jvm",
+    "rolling_fp_jvm",
+    "marker_counts_jvm",
 ]
 
 _JVM_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jvm")
@@ -41,12 +44,16 @@ _SRCS = [
     os.path.join(_JVM_DIR, "FastErUdfs.java"),
     os.path.join(_JVM_DIR, "JwUdfs.java"),
     os.path.join(_JVM_DIR, "LcsUdfs.java"),
+    os.path.join(_JVM_DIR, "TextUdfs.java"),
 ]
 _UDF_NAME = "fast_er_oph_signature"
 _JW_UDF_NAME = "fast_er_jw_level"
 _SHINGLE_UDF_NAME = "fast_er_shingle_hashes"
 _ANCHOR_UDF_NAME = "fast_er_substring_anchors"
 _LCS_UDF_NAME = "fast_er_lcs_len"
+_TEXT_STATS_UDF_NAME = "fast_er_text_stats"
+_ROLLING_FP_UDF_NAME = "fast_er_rolling_fp"
+_MARKER_COUNTS_UDF_NAME = "fast_er_marker_counts"
 _jar_path: str | None = None
 # Sessions that have the UDFs registered. A WeakSet, NOT id()-keyed: after a
 # session is stopped and garbage-collected, CPython can reuse the id for a
@@ -111,6 +118,15 @@ def ensure_jvm_udfs(spark: SparkSession) -> bool:
             _ANCHOR_UDF_NAME, "FastErUdfs$SubstringAnchors", T.ArrayType(T.LongType())
         )
         spark.udf.registerJavaFunction(_LCS_UDF_NAME, "LcsUdfs", T.IntegerType())
+        spark.udf.registerJavaFunction(
+            _TEXT_STATS_UDF_NAME, "TextUdfs", T.ArrayType(T.LongType())
+        )
+        spark.udf.registerJavaFunction(
+            _ROLLING_FP_UDF_NAME, "TextUdfs$RollingFp", T.LongType()
+        )
+        spark.udf.registerJavaFunction(
+            _MARKER_COUNTS_UDF_NAME, "TextUdfs$MarkerCounts", T.ArrayType(T.LongType())
+        )
         try:
             _registered.add(spark)
         except TypeError:
@@ -176,6 +192,34 @@ def lcs_len_jvm(a_col, b_col, cap: int = 0) -> Column:
     a = F.col(a_col) if isinstance(a_col, str) else a_col
     b = F.col(b_col) if isinstance(b_col, str) else b_col
     return F.call_udf(_LCS_UDF_NAME, a, b, F.lit(int(cap)))
+
+
+def text_stats_jvm(text_col) -> Column:
+    """[token_count, distinct_token_count, n_codepoints, n_kept_codepoints]
+    as array<long>, one JIT-compiled pass per doc (jvm/TextUdfs.java) —
+    exact value parity with the functions.text expression stack, so the
+    DuckDB oracle twins hold on either engine. Null text -> null. The
+    caller must have run ensure_jvm_udfs(spark) first."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.call_udf(_TEXT_STATS_UDF_NAME, col)
+
+
+def rolling_fp_jvm(text_col) -> Column:
+    """Rolling polynomial fingerprint (acc*31 + codepoint mod 1e9+7) — the
+    compiled twin of functions.text.rolling_fingerprint's interpreted
+    per-character F.aggregate (~8.4k docs/s at sf0.1; VERDICT r3 wrong #2).
+    The caller must have run ensure_jvm_udfs(spark) first."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.call_udf(_ROLLING_FP_UDF_NAME, col)
+
+
+def marker_counts_jvm(text_col, spec: str) -> Column:
+    """Marker-token counts for every language in ``spec``
+    ("lang:w1,w2|lang2:w1,...") in ONE tokenization pass, array<long> in
+    spec order — replaces K interpreted F.filter passes. The caller must
+    have run ensure_jvm_udfs(spark) first."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.call_udf(_MARKER_COUNTS_UDF_NAME, col, F.lit(spec))
 
 
 def jw_level_jvm(val_a, val_b, p: float, lower: float, upper: float) -> Column:

@@ -25,7 +25,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from .estimation import Estimation
 from .operators.agreement import (
@@ -47,24 +46,49 @@ _ROW_ID = "__row_id"
 def _with_row_id(df: DataFrame, order_col: str | None) -> DataFrame:
     """Stable long row id. If the table has a natural unique long key, pass it
     as order_col (the scale path — zero extra work). Otherwise positional ids
-    are assigned with zipWithIndex: one pass, per-partition counting, NO
-    global sort / single-partition window (the reference's ids are the pandas
-    positional index; zipWithIndex reproduces that for any source with a
-    stable partition order, e.g. a parquet scan). The frame is
-    localCheckpointed so every downstream action sees the same ids."""
+    (partition-major, row order within partition — the same ids zipWithIndex
+    assigns, which reproduce the reference's pandas positional index,
+    comparison.py:626, for any source with a stable partition order) are
+    assigned ENTIRELY JVM-side:
+
+    - ``monotonically_increasing_id()`` encodes (partition index << 33) |
+      (row position within partition); an EAGER localCheckpoint freezes
+      those values so every downstream action sees the same ids;
+    - one driver-sized count job reads per-partition sizes off the frozen
+      frame (grouping by the id's partition bits, so the result is
+      consistent even if the checkpoint read repartitions);
+    - a broadcast join adds each partition's cumulative offset.
+
+    No Python stage anywhere: the previous zipWithIndex implementation
+    serialized every row JVM->Python->JVM once per Comparison/Deduplication
+    — the single remaining non-kernel Python pass on the reference-workload
+    path (measured: see PERF.md round 4)."""
     if order_col is not None:
         return df.withColumn(_ROW_ID, F.col(order_col).cast("long"))
-    # fresh StructType: StructType.add mutates in place, and df.schema is a
-    # cached object — mutating it corrupts the source frame for later callers
-    schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(_ROW_ID, T.LongType(), False)]
+    spark = df.sparkSession
+    mid = df.withColumn("__mid", F.monotonically_increasing_id()).localCheckpoint(eager=True)
+    part_of = F.shiftrightunsigned(F.col("__mid"), 33)
+    sizes = mid.groupBy(part_of.alias("__pid")).agg(F.count(F.lit(1)).alias("__n")).collect()
+    offsets, acc = [], 0
+    for r in sorted(sizes, key=lambda r: r["__pid"]):
+        offsets.append((int(r["__pid"]), acc))
+        acc += int(r["__n"])
+    # driver-sized (one row per partition); the eager checkpoint freezes it
+    # into JVM blocks so no action ever re-evaluates the Python-built rows
+    off_df = (
+        spark.createDataFrame(offsets or [], "__pid long, __off long")
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
-    rdd = df.rdd.zipWithIndex().map(lambda t: tuple(t[0]) + (t[1],))
-    # EAGER: one Python pass materializes the ids; lazy checkpointing here
-    # re-ran the Python RDD (plus a doCheckpoint job) after every downstream
-    # action — measured 5 minutes of redundant jobs in Comparison.fit at
-    # 100k x 100k
-    return df.sparkSession.createDataFrame(rdd, schema).localCheckpoint(eager=True)
+    return (
+        mid.withColumn("__pid", part_of)
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(
+            _ROW_ID,
+            F.col("__off") + F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)),
+        )
+        .drop("__pid", "__off", "__mid")
+    )
 
 
 class Comparison:

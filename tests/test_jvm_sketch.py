@@ -275,3 +275,51 @@ def test_oph_jvm_lsh_verified_pairs_recall(spark, jvm):
     assert got <= want, f"false positives: {sorted(got - want)[:5]}"
     recall = len(got & want) / len(want)
     assert recall >= 0.99, f"recall {recall:.4f} ({len(want) - len(got)} missed)"
+
+
+def test_text_kernels_match_expressions(spark, jvm):
+    """The compiled text kernels (TextUdfs) must return EXACTLY the values
+    of the Column-expression paths they replace — that identity is what
+    keeps the DuckDB oracle twins green on either engine. Cases cover
+    multi-space runs, tabs/newlines, punctuation, non-ASCII (code-point
+    counting), astral chars, repeated tokens, and empty text."""
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.functions.text import (
+        lang_marker_counts,
+        quality_score,
+        quality_score_from_stats,
+        rolling_fingerprint,
+        text_stats,
+    )
+
+    markers = {"en": ["the", "of"], "de": ["der", "und"], "xx": ["zap"]}
+    texts = [
+        "the quick brown fox the fox",
+        "  der und  der\tzap\nof  ",
+        "punct!!! heavy,,, (text) 50% #1",
+        "café naïve résumé 中文 tokens",
+        "astral \U0001F600\U0001F601 pair \U0001F600",
+        "",
+        "   ",
+        "single",
+        "The OF tHe zAp",  # case-folding for markers
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    t = F.col("t")
+    rows = df.select(
+        "i",
+        text_stats(t, jvm=False).alias("st_e"),
+        text_stats(t, jvm=True).alias("st_j"),
+        rolling_fingerprint(t, jvm=False).alias("fp_e"),
+        rolling_fingerprint(t, jvm=True).alias("fp_j"),
+        quality_score(t).alias("q_e"),
+        quality_score_from_stats(text_stats(t, jvm=True)).alias("q_j"),
+        lang_marker_counts(t, markers, jvm=False).alias("mk_e"),
+        lang_marker_counts(t, markers, jvm=True).alias("mk_j"),
+    ).collect()
+    for r in rows:
+        assert r["st_e"] == r["st_j"], (texts[r["i"]], r["st_e"], r["st_j"])
+        assert r["fp_e"] == r["fp_j"], (texts[r["i"]], r["fp_e"], r["fp_j"])
+        assert r["q_e"] == r["q_j"], (texts[r["i"]], r["q_e"], r["q_j"])
+        assert r["mk_e"] == r["mk_j"], (texts[r["i"]], r["mk_e"], r["mk_j"])

@@ -232,3 +232,38 @@ def test_exact_joint_counts_single_job_and_null_semantics(spark, monkeypatch):
 
     assert got_link == brute_exact_counts(recs, triangular=False)
     assert got_dedup == brute_exact_counts(recs, triangular=True)
+
+
+def test_row_id_matches_zipwithindex_and_runs_no_python(spark, monkeypatch):
+    """Positional row ids must (a) equal the zipWithIndex ids they replaced
+    (partition-major, row order within partition — the reference's pandas
+    positional index) and (b) assign them with ZERO Python stages: .rdd
+    access is forbidden and the materialized plan may contain no Python
+    eval node."""
+    from fast_er_spark.linkage import _ROW_ID, _with_row_id
+    from fast_er_spark.plans.inspect import formatted_plan
+
+    df = (
+        spark.range(0, 997)
+        .repartition(7)  # uneven, shuffled partitions
+        .selectExpr("id as payload", "cast(id % 13 as string) as tag")
+        .localCheckpoint(eager=True)  # pin partition layout for the twin runs
+    )
+    expect = dict(df.rdd.zipWithIndex().map(lambda t: (t[0].payload, t[1])).collect())
+
+    classic = type(df)
+    orig_rdd = classic.rdd
+    monkeypatch.setattr(
+        classic,
+        "rdd",
+        property(lambda self: (_ for _ in ()).throw(AssertionError(".rdd accessed"))),
+    )
+    try:
+        out = _with_row_id(df, None)
+        got = {r["payload"]: r[_ROW_ID] for r in out.collect()}
+        plan = formatted_plan(out)
+    finally:
+        monkeypatch.setattr(classic, "rdd", orig_rdd)
+    assert got == expect
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "PythonRDD" not in plan
