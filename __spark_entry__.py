@@ -277,6 +277,28 @@ def q_quality_scores(spark, sf_dir):
     )
 
 
+def q_quality_gopher(spark, sf_dir):
+    """Full public Gopher rule set (functions/text.py::gopher_stats): word
+    count / mean word length / symbol / bullet / ellipsis / alphabetic /
+    stopword rules, all as single-pass JVM regexp expressions with
+    RE2-compatible patterns — ORACLED against an identical DuckDB twin."""
+    from fast_er_spark.functions.text import gopher_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    g = gopher_stats(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        g["n_words"].alias("n_words"),
+        g["mean_word_len"].alias("mean_word_len"),
+        g["symbol_ratio"].alias("symbol_ratio"),
+        g["bullet_ratio"].alias("bullet_ratio"),
+        g["ellipsis_ratio"].alias("ellipsis_ratio"),
+        g["alpha_ratio"].alias("alpha_ratio"),
+        g["stopword_hits"].alias("stopword_hits"),
+        g["passes"].alias("passes"),
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from fast_er_spark.functions.jvm_sketch import ensure_jvm_udfs
     from fast_er_spark.functions.text import rolling_fingerprint
@@ -644,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_transform": q_linkage_transform,
         "tokenstats": q_tokenstats,
         "quality_scores": q_quality_scores,
+        "quality_gopher": q_quality_gopher,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
         "embedding_topk": q_embedding_topk,
@@ -822,6 +845,49 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
     + (CASE WHEN ntok > 0 THEN ndis * 1.0 / ntok ELSE 0.0 END)
   ) / 3.0, 6) AS quality
 FROM t
+"""
+    from fast_er_spark.functions.text import GOPHER_STOPWORDS
+
+    stop_sum = " + ".join(
+        f"(CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOPWORDS
+    )
+    sqls["quality_gopher"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\\S+')) AS n_words,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS word_chars,
+    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym,
+    len(regexp_extract_all(text, '\\n')) + 1 AS n_lines,
+    len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•‣▪]')) AS n_bullet,
+    len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)[ \\t]*$')) AS n_ell,
+    len(regexp_extract_all(text, '[^\\s]*[A-Za-z][^\\s]*')) AS n_alpha,
+    {stop_sum} AS n_stop
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_words, n_stop,
+    CASE WHEN n_words > 0 THEN word_chars * 1.0 / n_words ELSE 0.0 END AS mean_wl,
+    CASE WHEN n_words > 0 THEN n_sym * 1.0 / n_words ELSE 0.0 END AS sym_r,
+    n_bullet * 1.0 / n_lines AS bull_r,
+    n_ell * 1.0 / n_lines AS ell_r,
+    CASE WHEN n_words > 0 THEN n_alpha * 1.0 / n_words ELSE 0.0 END AS alpha_r
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(n_words AS BIGINT) AS n_words,
+  round(mean_wl, 6) AS mean_word_len,
+  round(sym_r, 6) AS symbol_ratio,
+  round(bull_r, 6) AS bullet_ratio,
+  round(ell_r, 6) AS ellipsis_ratio,
+  round(alpha_r, 6) AS alpha_ratio,
+  CAST(n_stop AS BIGINT) AS stopword_hits,
+  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         AND mean_wl BETWEEN 3.0 AND 10.0
+         AND sym_r <= 0.1 AND bull_r <= 0.9 AND ell_r <= 0.3
+         AND alpha_r >= 0.8 AND n_stop >= 2
+       THEN 1 ELSE 0 END AS BIGINT) AS passes
+FROM r
 """
     sqls["doc_fingerprint"] = """
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

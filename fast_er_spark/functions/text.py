@@ -12,6 +12,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "gopher_stats",
+    "GOPHER_STOPWORDS",
     "tokens",
     "token_count",
     "distinct_token_count",
@@ -130,6 +132,75 @@ def quality_score_from_stats(stats: Column) -> Column:
     ttr = F.when(n_tok > 0, n_dis / n_tok).otherwise(F.lit(0.0))
     punct = F.when(n > 0, (n - kept) / n).otherwise(F.lit(0.0))
     return F.round((len_ok + (1.0 - punct) + ttr) / 3.0, 6)
+
+
+# the Gopher rule-set stopword list (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Appendix A1.1 — public heuristics, re-derived)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_stats(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """The full public Gopher quality-rule set as ONE whole-stage-codegen
+    struct — no Python, no interpreted higher-order functions; every count
+    is a single JVM regexp pass and every pattern is RE2-compatible (no
+    lookarounds), so the DuckDB oracle twin computes identical values.
+
+    Fields: n_words, mean_word_len, symbol_ratio (#/ellipsis per word),
+    bullet_ratio (lines starting with a bullet), ellipsis_ratio (lines
+    ending with an ellipsis), alpha_ratio (words containing a letter),
+    stopword_hits (distinct GOPHER_STOPWORDS present), passes (0/1 — all
+    rules hold). Ratios are rounded to 6 for display; rule comparisons use
+    the unrounded values. Null text -> null struct."""
+    n_words = F.regexp_count(col, F.lit(r"\S+"))
+    word_chars = F.length(F.regexp_replace(col, r"\s+", ""))
+    n_sym = F.regexp_count(col, F.lit(r"#|\.\.\.|…"))
+    n_lines = F.regexp_count(col, F.lit(r"\n")) + F.lit(1)
+    n_bullet = F.regexp_count(col, F.lit(r"(?m)^[ \t]*[-*•‣▪]"))
+    n_ell = F.regexp_count(col, F.lit(r"(?m)(\.\.\.|…)[ \t]*$"))
+    n_alpha = F.regexp_count(col, F.lit(r"[^\s]*[A-Za-z][^\s]*"))
+    low = F.lower(col)
+    n_stop = sum(
+        F.when(low.rlike(rf"\b{w}\b"), 1).otherwise(0) for w in GOPHER_STOPWORDS
+    )
+
+    mean_wl = F.when(n_words > 0, word_chars / n_words).otherwise(F.lit(0.0))
+    sym_r = F.when(n_words > 0, n_sym / n_words).otherwise(F.lit(0.0))
+    bull_r = n_bullet / n_lines
+    ell_r = n_ell / n_lines
+    alpha_r = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
+    passes = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+        & (sym_r <= max_symbol_ratio)
+        & (bull_r <= max_bullet_ratio)
+        & (ell_r <= max_ellipsis_ratio)
+        & (alpha_r >= min_alpha_ratio)
+        & (n_stop >= min_stopword_hits)
+    )
+    return F.when(
+        col.isNotNull(),
+        F.struct(
+            n_words.cast("long").alias("n_words"),
+            F.round(mean_wl, 6).alias("mean_word_len"),
+            F.round(sym_r, 6).alias("symbol_ratio"),
+            F.round(bull_r, 6).alias("bullet_ratio"),
+            F.round(ell_r, 6).alias("ellipsis_ratio"),
+            F.round(alpha_r, 6).alias("alpha_ratio"),
+            n_stop.cast("long").alias("stopword_hits"),
+            passes.cast("long").alias("passes"),
+        ),
+    )
 
 
 def marker_spec(markers: dict) -> str:

@@ -65,7 +65,10 @@ def _small_star(e: DataFrame, n_part: int) -> DataFrame:
 
 
 def _checksum(e: DataFrame) -> tuple[int, int]:
-    # count + order-insensitive hash in one job over the checkpointed blocks
+    # count + order-insensitive hash in ONE job that doubles as the
+    # materializing action for the round's LAZY localCheckpoint: the agg
+    # computes the full edge RDD, which persists the checkpoint blocks as a
+    # side effect — one job per round instead of eager-checkpoint + collect
     row = e.agg(
         F.count(F.lit(1)).alias("cnt"),
         F.coalesce(F.sum(F.xxhash64("u", "v") % F.lit(2_000_003)), F.lit(0)).alias("h"),
@@ -107,7 +110,9 @@ def connected_components(
 def _cc_iterate(e: DataFrame, nodes, id_col: str, max_iter: int, n_part: int) -> DataFrame:
     prev = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e, n_part), n_part).localCheckpoint(eager=True)
+        # lazy checkpoint: _checksum's aggregation is the materializing
+        # action (see _checksum) — halves the driver-side jobs per round
+        e = _small_star(_large_star(e, n_part), n_part).localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:
             break

@@ -79,10 +79,12 @@ def media_features(df: DataFrame, id_col: str, media_col: str = "media",
                     "plug a decoder in here"
                 )
             out = {"id": [], "mime": [], "mean_r": [], "mean_g": [], "mean_b": []}
-            for _, row in pdf.iterrows():
-                m = row[media_col]
+            # column-wise access + zip, NOT iterrows: per-row pandas Series
+            # construction dominates the harness cost and would sit in front
+            # of a real decoder for every batch
+            for rid, m in zip(pdf[id_col].to_numpy(), pdf[media_col].to_numpy()):
                 px = _fake_decode(bytes(m["data"]), int(m["width"]), int(m["height"]))
-                out["id"].append(int(row[id_col]))
+                out["id"].append(int(rid))
                 out["mime"].append(m["mime"])
                 means = px.reshape(-1, 3).mean(axis=0)
                 out["mean_r"].append(float(means[0]))

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["streaming_exact_dedup", "streaming_dup_rate"]
+__all__ = ["streaming_exact_dedup", "streaming_dup_rate", "streaming_near_dup"]
 
 
 def streaming_exact_dedup(

@@ -175,3 +175,48 @@ def test_band_buckets_drops_null_signatures(spark):
     out = band_buckets(df, "id", "minhash", bands=2, rows_per_band=2)
     ids = {r["id"] for r in out.select("id").distinct().collect()}
     assert ids == {1}
+
+
+def test_cc_lazy_checkpoint_saves_one_job_per_round(spark):
+    """The round checksum is the materializing action for a LAZY
+    localCheckpoint — an eager checkpoint burns one extra job per round.
+    Run the identical star-iteration loop with each mode and assert the
+    lazy twin (what _cc_iterate uses) needs strictly fewer driver jobs for
+    the same fixpoint."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    import fast_er_spark.operators.components as C
+
+    rng = random.Random(3)
+    edges = [(i, i + 1) for i in range(0, 1500, 3)] + [
+        (rng.randint(0, 1500), rng.randint(0, 1500)) for _ in range(800)
+    ]
+    df = spark.createDataFrame(edges, "id_a long, id_b long").localCheckpoint(eager=True)
+    df.count()
+    sc = spark.sparkContext
+
+    def run_loop(eager):
+        e = df.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).where(
+            F.col("u") != F.col("v")
+        ).localCheckpoint(eager=True)
+        prev, rounds = None, 0
+        for _ in range(30):
+            e = C._small_star(C._large_star(e, 4), 4).localCheckpoint(eager=eager)
+            cur = C._checksum(e)
+            rounds += 1
+            if cur == prev:
+                break
+            prev = cur
+        return sorted(r["u"] for r in e.select("u").collect()), rounds
+
+    sc.setJobGroup("cc_lazy", "x")
+    lazy_fix, lazy_rounds = run_loop(False)
+    sc.setJobGroup("cc_eager", "x")
+    eager_fix, eager_rounds = run_loop(True)
+    sc.setJobGroup(None, None)
+    lazy_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_lazy"))
+    eager_jobs = len(sc.statusTracker().getJobIdsForGroup("cc_eager"))
+    assert lazy_fix == eager_fix and lazy_rounds == eager_rounds
+    assert lazy_jobs < eager_jobs, (lazy_jobs, eager_jobs)

@@ -99,3 +99,41 @@ def test_oph_rejects_degenerate_num_perm():
     for bad in (1, 3, 0):
         with pytest.raises(ValueError):
             oph_signature_batch(pd.Series(["a b c d"]), num_perm=bad)
+
+
+def test_gopher_stats_rules(spark):
+    """Each Gopher rule must gate `passes` independently; base text clears
+    every rule, each variant breaks exactly one."""
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.functions.text import gopher_stats
+
+    base = ("the data and pipeline have tokens with words that flow nicely " * 6).strip()
+    cases = {
+        0: base,                                     # all rules pass
+        1: "the of and short",                       # too few words
+        2: " ".join(["ab"] * 60) + " the of",        # mean word len < 3
+        3: base + " " + "# " * 40,                   # symbol ratio > 0.1
+        4: "\n".join(["- " + base] * 10),            # bullet lines > 0.9
+        5: "\n".join([base + "..."] * 10),           # ellipsis lines > 0.3
+        6: base + " " + " ".join(["123"] * 60),      # alpha ratio < 0.8
+        7: base.replace("the", "xx").replace("and", "yy")
+              .replace("have", "zz").replace("with", "qq")
+              .replace("that", "rr").replace("of", "ss"),  # stopwords < 2
+    }
+    df = spark.createDataFrame(list(cases.items()), "i long, text string")
+    got = {
+        r["i"]: r["g"].asDict()
+        for r in df.select("i", gopher_stats(F.col("text")).alias("g")).collect()
+    }
+    assert got[0]["passes"] == 1, got[0]
+    for i in range(1, 8):
+        assert got[i]["passes"] == 0, (i, got[i])
+    # spot-check the discriminating stat of a few variants
+    assert got[1]["n_words"] < 50
+    assert got[2]["mean_word_len"] < 3.0
+    assert got[3]["symbol_ratio"] > 0.1
+    assert got[4]["bullet_ratio"] > 0.9
+    assert got[5]["ellipsis_ratio"] > 0.3
+    assert got[6]["alpha_ratio"] < 0.8
+    assert got[7]["stopword_hits"] < 2
