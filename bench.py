@@ -18,6 +18,13 @@ cc_clusters is timed over the CHECKPOINTED verified-pair stage (the
 pipeline's actual topology — stages consume materialized stage tables); the
 standalone q_cc_clusters recomputes its LSH upstream by contract and its
 end-to-end cost is already covered by minhash_lsh_dedup.
+
+embedding_near_dup_lsh is timed at the PRODUCTION config (threshold 0.9,
+default 8 planes x 16 tables) over a clustered fixture sized to the SF's
+embeddings table: the driver-correctness query deliberately uses a coarse
+(3 planes x 24 tables, thr 0.4) oracle rig whose bucket occupancy is ~N/8 —
+quasi-quadratic BY CONSTRUCTION — so benching that config measured the rig,
+not the operator (VERDICT r3 wrong #3). The oracle row is unchanged.
 """
 
 from __future__ import annotations
@@ -94,6 +101,20 @@ def main() -> None:
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs_ckpt = None
+
+    # clustered embeddings fixture for the production-config near-dup row,
+    # built OUTSIDE the timed region (same row count/dim as the SF table)
+    from fixtures.synth import embeddings as synth_embeddings
+
+    emb_tbl = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_emb = emb_tbl.count()
+    emb_dim = len(emb_tbl.select("embedding").first()[0])
+    emb_rows, _ = synth_embeddings(n=n_emb, dim=emb_dim, dup_frac=0.3, seed=7)
+    emb_clustered = spark.createDataFrame(
+        [(i, v) for i, v, _ in emb_rows], "vec_id long, embedding array<float>"
+    ).localCheckpoint(eager=True)
+    emb_clustered.count()
+
     for name in HEADLINE:
         t0 = time.perf_counter()
         if name == "minhash_lsh_dedup":
@@ -105,6 +126,14 @@ def main() -> None:
         elif name == "cc_clusters":
             df = connected_components(
                 pairs_ckpt, nodes=docs.selectExpr("doc_id as id")
+            )
+            plans[name] = formatted_plan(df)
+            df.write.format("noop").mode("overwrite").save()
+        elif name == "embedding_near_dup_lsh":
+            from fast_er_spark.operators.similarity import embedding_near_dup_pairs
+
+            df = embedding_near_dup_pairs(
+                emb_clustered, dim=emb_dim, threshold=0.9, seed=42
             )
             plans[name] = formatted_plan(df)
             df.write.format("noop").mode("overwrite").save()
@@ -125,6 +154,11 @@ def main() -> None:
             f.write(f"\n## {name} ({timings[name]} s)\n\n```\n{plans[name]}\n```\n")
 
     total = round(sum(timings.values()), 3)
+    # like-for-like vs rounds 1-2: the 16 queries that existed before
+    # embedding_near_dup_lsh was added in round 3
+    total_16 = round(
+        sum(v for k, v in timings.items() if k != "embedding_near_dup_lsh"), 3
+    )
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -132,6 +166,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "cpus": cpus,
+        "total_16q_like_for_like": total_16,
         "docs_per_sec": round(n_docs / dedup_wall, 1) if dedup_wall else None,
         "dedup_wall_sec": round(dedup_wall, 3),
     }
