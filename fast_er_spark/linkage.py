@@ -73,13 +73,32 @@ def _with_row_id(df: DataFrame, order_col: str | None) -> DataFrame:
     for r in sorted(sizes, key=lambda r: r["__pid"]):
         offsets.append((int(r["__pid"]), acc))
         acc += int(r["__n"])
-    # driver-sized (one row per partition); the eager checkpoint freezes it
-    # into JVM blocks so no action ever re-evaluates the Python-built rows
-    off_df = (
-        spark.createDataFrame(offsets or [], "__pid long, __off long")
-        .coalesce(1)
-        .localCheckpoint(eager=True)
-    )
+    # driver-sized (one row per partition), built from LITERALS: a
+    # createDataFrame(list) here plans as a Python RDD whose single-task
+    # materialization job measured ~6 s — pure scheduling/worker overhead
+    # on every Comparison. An exploded literal array is JVM-only and free.
+    # (Falls back to createDataFrame past 20k partitions, where a literal
+    # expression tree would bloat the plan.)
+    if offsets and len(offsets) <= 20_000:
+        off_df = spark.range(1).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(p).cast("long").alias("__pid"),
+                            F.lit(off).cast("long").alias("__off"),
+                        )
+                        for p, off in offsets
+                    ]
+                )
+            ).alias("po")
+        ).select("po.__pid", "po.__off")
+    else:
+        off_df = (
+            spark.createDataFrame(offsets or [], "__pid long, __off long")
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
     return (
         mid.withColumn("__pid", part_of)
         .join(F.broadcast(off_df), "__pid")
@@ -190,22 +209,56 @@ class Comparison:
         # consume patterns, and without a checkpoint the whole JW/join DAG
         # re-executes per consumer (measured ~2x wall on the reference
         # 100k x 100k workload)
+        # persist, not localCheckpoint — see _fit_sparse for why a lazy
+        # localCheckpoint is not actually lazy under AQE
         self.patterns = assemble_patterns(
             frames, self.k_fuzzy, self.k_exact
-        ).localCheckpoint(eager=False)
+        ).persist()
         return self
 
     # ------------------------------------------------- sparse-exact engine
     def _fit_sparse(self, a: DataFrame, b: DataFrame, fuzzy_frames) -> None:
         st = strides(self.k_fuzzy, self.k_exact)
-        contribs = [
-            f.select("id_a", "id_b", (F.col("level") * F.lit(s)).alias("contrib"))
-            for f, s in zip(fuzzy_frames, st[: self.k_fuzzy])
-        ]
+        # The union + groupBy is the engine's dominant shuffle (~2.3e8
+        # level-edge rows at 100k x 100k). On the POSITIONAL-id path both
+        # ids are consecutive row indices < 2^31, so the pair packs into ONE
+        # long (id_a << 32 | id_b) and the contribution into an int
+        # (pattern space is tiny): 12 bytes per shuffle row instead of 24,
+        # halving shuffle write+read on the hottest exchange. Natural-key
+        # callers keep the two-column key (ids may exceed 2^31 / be
+        # negative).
+        pack = self.id_a is None and self.id_b is None
+        if pack:
+            key = F.shiftleft(F.col("id_a"), 32).bitwiseOR(F.col("id_b"))
+            contribs = [
+                f.select(
+                    key.alias("__k"),
+                    (F.col("level") * F.lit(s)).cast("int").alias("contrib"),
+                )
+                for f, s in zip(fuzzy_frames, st[: self.k_fuzzy])
+            ]
+        else:
+            contribs = [
+                f.select("id_a", "id_b", (F.col("level") * F.lit(s)).alias("contrib"))
+                for f, s in zip(fuzzy_frames, st[: self.k_fuzzy])
+            ]
         u = contribs[0]
         for c in contribs[1:]:
             u = u.unionByName(c)
-        sparse = u.groupBy("id_a", "id_b").agg(F.sum("contrib").cast("long").alias("__fz"))
+        if pack:
+            sparse = (
+                u.groupBy("__k")
+                .agg(F.sum("contrib").cast("long").alias("__fz"))
+                .select(
+                    F.shiftrightunsigned(F.col("__k"), 32).cast("long").alias("id_a"),
+                    F.col("__k").bitwiseAND(F.lit((1 << 32) - 1)).cast("long").alias("id_b"),
+                    "__fz",
+                )
+            )
+        else:
+            sparse = u.groupBy("id_a", "id_b").agg(
+                F.sum("contrib").cast("long").alias("__fz")
+            )
         # exact agreement is a per-pair LOOKUP on the (small-per-pair) sparse
         # frame — two equi-joins per exact variable against the id->value
         # projections, never a pair-materializing self-join
@@ -221,7 +274,15 @@ class Comparison:
         sparse = sparse.select(
             "id_a", "id_b", (F.col("__fz") + exact_expr).alias("pattern_id")
         )
-        self._sparse = sparse.localCheckpoint(eager=False)
+        # persist, NOT localCheckpoint: under AQE even a LAZY localCheckpoint
+        # materializes every shuffle stage at call time (Dataset.checkpoint
+        # builds the RDD and AdaptiveSparkPlanExec runs all query stages
+        # eagerly — measured 42 s blocking inside fit() at 100k x 100k) and
+        # then pays a SECOND pass writing checkpoint blocks on the first
+        # consumer. persist() is truly lazy: the first action (counts'
+        # histogram) computes the frame ONCE, caching as a side effect;
+        # transform reads the cache.
+        self._sparse = sparse.persist()
         # full reference surface: sparse pairs + lazily-derived exact-only
         # pairs. Heavy only if somebody materializes ALL patterns — counts()
         # and transform() never do.
@@ -450,9 +511,11 @@ class Deduplication:
         frames = list(fuzzy_frames)
         for c in self.vars_exact:
             frames.append(exact_levels_dedup(d, c, "id"))
+        # persist, not localCheckpoint — see _fit_sparse for why a lazy
+        # localCheckpoint is not actually lazy under AQE
         self.patterns = assemble_patterns(
             frames, self.k_fuzzy, self.k_exact
-        ).localCheckpoint(eager=False)
+        ).persist()
         return self
 
     def _fit_sparse(self, d: DataFrame, fuzzy_frames) -> None:
@@ -477,7 +540,15 @@ class Deduplication:
         sparse = sparse.select(
             "id_a", "id_b", (F.col("__fz") + exact_expr).alias("pattern_id")
         )
-        self._sparse = sparse.localCheckpoint(eager=False)
+        # persist, NOT localCheckpoint: under AQE even a LAZY localCheckpoint
+        # materializes every shuffle stage at call time (Dataset.checkpoint
+        # builds the RDD and AdaptiveSparkPlanExec runs all query stages
+        # eagerly — measured 42 s blocking inside fit() at 100k x 100k) and
+        # then pays a SECOND pass writing checkpoint blocks on the first
+        # consumer. persist() is truly lazy: the first action (counts'
+        # histogram) computes the frame ONCE, caching as a side effect;
+        # transform reads the cache.
+        self._sparse = sparse.persist()
         self.patterns = self._sparse.unionByName(self._exact_only_patterns())
 
     def _exact_only_patterns(self) -> DataFrame:

@@ -100,18 +100,25 @@ def band_buckets(
     signature slice, computed JVM-side (no UDF).
 
     Rows with a NULL signature emit no buckets: xxhash64 IGNORES a null
-    slice argument, so without the filter every null-signature row would
-    hash to the same constant bucket per band and all such rows (e.g.
-    blank docs under the JVM OPH kernel, FastErUdfs.java) would pair with
-    each other."""
+    slice argument, so otherwise every null-signature row would hash to
+    the same constant bucket per band and all such rows (e.g. blank docs
+    under the JVM OPH kernel, FastErUdfs.java) would pair with each other.
+    The guard is a WHEN inside the explode input (posexplode of a null
+    array emits no rows), NOT a .where() on the signature column — a
+    filter referencing a UDF column splits the plan into filter+project
+    stages that each evaluate the signature UDF (measured: 2 ArrowEvalPython
+    stages, 2x the dominant corpus-scale cost)."""
     band_hashes = F.array(
         *[
             F.xxhash64(F.lit(b), F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band))
             for b in range(bands)
         ]
     )
-    return df.where(F.col(sig_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.posexplode(band_hashes).alias("band", "bucket")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.when(F.col(sig_col).isNotNull(), band_hashes)
+        ).alias("band", "bucket"),
     )
 
 
