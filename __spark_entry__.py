@@ -344,6 +344,24 @@ def q_lang_id(spark, sf_dir):
     return scored.select("doc_id", pred.alias("pred_lang"))
 
 
+def q_lang_id_ngram(spark, sf_dir):
+    """Statistical language-ID: Cavnar-Trenkle character-n-gram rank
+    profiles (top-300 1..3-grams, out-of-place distance) over 7 languages —
+    the production-grade upgrade over marker-token counting. JVM kernel
+    when a JDK is present, identical-algorithm Arrow fallback otherwise.
+    Rows-only: the rank-profile pipeline is not expressible as a DuckDB
+    one-liner; parity + accuracy are pytest-gated
+    (tests/test_sketch_functions.py)."""
+    from fast_er_spark.functions.jvm_sketch import ensure_jvm_udfs
+    from fast_er_spark.functions.text import lang_id_ngram
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        lang_id_ngram(F.col("text"), jvm=ensure_jvm_udfs(spark)).alias("pred_lang"),
+    )
+
+
 # -------------------------------------------------------- similarity search
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for the first 20 query vectors —
@@ -669,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_gopher": q_quality_gopher,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
+        "lang_id_ngram": q_lang_id_ngram,
         "embedding_topk": q_embedding_topk,
         "events_hourly": q_events_hourly,
         "tpch_q1": q_tpch_q1,

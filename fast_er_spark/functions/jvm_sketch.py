@@ -37,6 +37,7 @@ __all__ = [
     "text_stats_jvm",
     "rolling_fp_jvm",
     "marker_counts_jvm",
+    "ngram_lang_id_jvm",
 ]
 
 _JVM_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jvm")
@@ -54,6 +55,7 @@ _LCS_UDF_NAME = "fast_er_lcs_len"
 _TEXT_STATS_UDF_NAME = "fast_er_text_stats"
 _ROLLING_FP_UDF_NAME = "fast_er_rolling_fp"
 _MARKER_COUNTS_UDF_NAME = "fast_er_marker_counts"
+_NGRAM_LANG_UDF_NAME = "fast_er_ngram_lang_id"
 _jar_path: str | None = None
 # Sessions that have the UDFs registered. A WeakSet, NOT id()-keyed: after a
 # session is stopped and garbage-collected, CPython can reuse the id for a
@@ -79,7 +81,9 @@ def _build_jar() -> str | None:
     try:
         out = tempfile.mkdtemp(prefix="fast_er_jvm_")
         subprocess.run(
-            ["javac", "-cp", _spark_jars_cp(), "-d", out, *_SRCS],
+            # explicit -encoding: sources are UTF-8; a C/POSIX-locale javac
+            # otherwise defaults to US-ASCII and rejects the comments
+            ["javac", "-encoding", "utf8", "-cp", _spark_jars_cp(), "-d", out, *_SRCS],
             check=True, capture_output=True, timeout=120,
         )
         jar = os.path.join(out, "fast_er_udfs.jar")
@@ -126,6 +130,9 @@ def ensure_jvm_udfs(spark: SparkSession) -> bool:
         )
         spark.udf.registerJavaFunction(
             _MARKER_COUNTS_UDF_NAME, "TextUdfs$MarkerCounts", T.ArrayType(T.LongType())
+        )
+        spark.udf.registerJavaFunction(
+            _NGRAM_LANG_UDF_NAME, "TextUdfs$NgramLangId", T.StringType()
         )
         try:
             _registered.add(spark)
@@ -220,6 +227,16 @@ def marker_counts_jvm(text_col, spec: str) -> Column:
     have run ensure_jvm_udfs(spark) first."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.call_udf(_MARKER_COUNTS_UDF_NAME, col, F.lit(spec))
+
+
+def ngram_lang_id_jvm(text_col, spec: str) -> Column:
+    """Cavnar-Trenkle n-gram language ID in the executor JVM
+    (jvm/TextUdfs.java::NgramLangId): top-300 char 1..3-gram rank profile
+    vs per-language profiles, out-of-place distance, argmin. ``spec`` from
+    functions.text.ngram_profile_spec. The caller must have run
+    ensure_jvm_udfs(spark) first."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.call_udf(_NGRAM_LANG_UDF_NAME, col, F.lit(spec))
 
 
 def jw_level_jvm(val_a, val_b, p: float, lower: float, upper: float) -> Column:

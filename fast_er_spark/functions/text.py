@@ -8,12 +8,18 @@ driver's DuckDB oracle (see __spark_entry__.oracle_sql).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
     "gopher_stats",
     "GOPHER_STOPWORDS",
+    "ngram_lang_profiles",
+    "ngram_profile_spec",
+    "predict_lang_ngram_py",
+    "lang_id_ngram",
+    "NGRAM_SEED_TEXTS",
     "tokens",
     "token_count",
     "distinct_token_count",
@@ -137,6 +143,156 @@ def quality_score_from_stats(stats: Column) -> Column:
 # the Gopher rule-set stopword list (Rae et al. 2021, "Scaling Language
 # Models: ... Gopher", Appendix A1.1 — public heuristics, re-derived)
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+# ------------------------- Cavnar-Trenkle n-gram language identification
+# "N-Gram-Based Text Categorization" (Cavnar & Trenkle 1994, public
+# method): rank profiles of character 1..3-grams, out-of-place distance.
+# Seed corpora below are original everyday-register sentences written for
+# this repo (a few per language is the method's documented sweet spot for
+# coarse web-scale routing; swap in larger corpora for production).
+
+NGRAM_SEED_TEXTS = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog while the children "
+        "watch from the garden. it was the best of times and the worst of "
+        "times for everyone in the little town. she said that they would "
+        "have to wait until the morning train arrived with the letters. "
+        "people often think about what they want from life and how they "
+        "can get there with the help of their friends."
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund während "
+        "die kinder aus dem garten zuschauen. es war die beste und die "
+        "schlechteste zeit für alle menschen in der kleinen stadt. sie "
+        "sagte dass sie bis zum morgen warten müssen bis der zug mit den "
+        "briefen ankommt. die leute denken oft darüber nach was sie vom "
+        "leben wollen und wie sie es mit hilfe ihrer freunde erreichen."
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux pendant "
+        "que les enfants regardent depuis le jardin. c'était la meilleure "
+        "et la pire des époques pour tous les habitants de la petite "
+        "ville. elle a dit qu'ils devraient attendre jusqu'au matin que le "
+        "train arrive avec les lettres. les gens pensent souvent à ce "
+        "qu'ils veulent de la vie et comment y parvenir avec l'aide de "
+        "leurs amis."
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso mientras los "
+        "niños miran desde el jardín. era el mejor y el peor de los "
+        "tiempos para toda la gente del pequeño pueblo. ella dijo que "
+        "tendrían que esperar hasta la mañana a que llegara el tren con "
+        "las cartas. la gente piensa a menudo en lo que quiere de la vida "
+        "y en cómo conseguirlo con la ayuda de sus amigos."
+    ),
+    "it": (
+        "la veloce volpe marrone salta sopra il cane pigro mentre i "
+        "bambini guardano dal giardino. era il migliore e il peggiore dei "
+        "tempi per tutta la gente della piccola città. lei ha detto che "
+        "avrebbero dovuto aspettare fino al mattino che il treno arrivasse "
+        "con le lettere. la gente pensa spesso a cosa vuole dalla vita e a "
+        "come ottenerlo con l'aiuto dei propri amici."
+    ),
+    "pt": (
+        "a rápida raposa marrom salta sobre o cão preguiçoso enquanto as "
+        "crianças observam do jardim. era o melhor e o pior dos tempos "
+        "para todas as pessoas da pequena cidade. ela disse que teriam de "
+        "esperar até a manhã até que o trem chegasse com as cartas. as "
+        "pessoas pensam muitas vezes sobre o que querem da vida e como "
+        "conseguir isso com a ajuda dos seus amigos."
+    ),
+    "nl": (
+        "de snelle bruine vos springt over de luie hond terwijl de "
+        "kinderen vanuit de tuin toekijken. het was de beste en de "
+        "slechtste tijd voor alle mensen in het kleine stadje. ze zei dat "
+        "ze tot de ochtend moesten wachten tot de trein met de brieven "
+        "aankwam. mensen denken vaak na over wat ze van het leven willen "
+        "en hoe ze dat met de hulp van hun vrienden kunnen bereiken."
+    ),
+}
+
+_NGRAM_K = 300
+# Python str.isspace() code points == the Java kernel's isPyWhitespace set
+# (Character.isWhitespace + NEL/NBSP/figure/narrow-NBSP) — kept explicit so
+# both engines map the identical set to ' ' before n-gramming
+_PY_WS = frozenset(
+    chr(c)
+    for c in (
+        list(range(0x09, 0x0E)) + list(range(0x1C, 0x21))
+        + [0x85, 0xA0, 0x1680]
+        + list(range(0x2000, 0x200B))
+        + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+    )
+)
+
+
+def _ngram_counts(text: str) -> dict:
+    """Normalized 1..3-gram counts over code points (lowercase, every
+    Python-whitespace char mapped to ' ', trimmed). Returns {} for blank."""
+    low = text.lower()
+    s = "".join(" " if ch in _PY_WS else ch for ch in low).strip(" ")
+    if not s:
+        return {}
+    counts: dict = {}
+    for n in (1, 2, 3):
+        for i in range(len(s) - n + 1):
+            g = s[i:i + n]
+            counts[g] = counts.get(g, 0) + 1
+    return counts
+
+
+def _rank_profile(counts: dict, k: int) -> list:
+    return [g for g, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]]
+
+
+def ngram_lang_profiles(seed_texts: dict | None = None, k: int = _NGRAM_K) -> dict:
+    """{lang: [ngram, ...]} rank profiles from seed corpora (deterministic)."""
+    seed_texts = seed_texts or NGRAM_SEED_TEXTS
+    return {lg: _rank_profile(_ngram_counts(t), k) for lg, t in seed_texts.items()}
+
+
+def ngram_profile_spec(profiles: dict) -> str:
+    """Serialize profiles for the JVM kernel (insertion order preserved):
+    lang \\x02 ng1 \\x01 ng2 ... languages joined by \\x03."""
+    return "\x03".join(lg + "\x02" + "\x01".join(ngs) for lg, ngs in profiles.items())
+
+
+def predict_lang_ngram_py(text: str | None, profiles: dict, k: int = _NGRAM_K) -> str | None:
+    """Pure-Python twin of the JVM kernel (identical algorithm + tie
+    rules for BMP text): blank/None -> None; ties -> first language in
+    profile insertion order."""
+    if text is None:
+        return None
+    counts = _ngram_counts(text)
+    if not counts:
+        return None
+    doc = _rank_profile(counts, k)
+    best, best_d = None, None
+    for lg, ngs in profiles.items():
+        rank = {g: r for r, g in enumerate(ngs)}
+        d = sum(abs(r - rank[g]) if g in rank else k for r, g in enumerate(doc))
+        if best_d is None or d < best_d:
+            best, best_d = lg, d
+    return best
+
+
+def lang_id_ngram(col: Column, profiles: dict | None = None, jvm: bool = False) -> Column:
+    """Predicted language code per document via Cavnar-Trenkle rank
+    profiles — the statistical upgrade over marker-token counting
+    (lang_marker_counts). JVM path: one compiled pass per doc; fallback:
+    Arrow pandas_udf running the identical Python twin."""
+    profiles = profiles or ngram_lang_profiles()
+    if jvm:
+        from .jvm_sketch import ngram_lang_id_jvm
+
+        return ngram_lang_id_jvm(col, ngram_profile_spec(profiles))
+
+    @F.pandas_udf("string")
+    def pred(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: predict_lang_ngram_py(t, profiles))
+
+    return pred(col)
 
 
 def gopher_stats(

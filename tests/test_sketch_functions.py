@@ -137,3 +137,54 @@ def test_gopher_stats_rules(spark):
     assert got[5]["ellipsis_ratio"] > 0.3
     assert got[6]["alpha_ratio"] < 0.8
     assert got[7]["stopword_hits"] < 2
+
+
+HELD_OUT_SENTENCES = {
+    "en": "my neighbour brought some fresh bread this morning and we talked about the weather for a while.",
+    "de": "mein nachbar hat heute morgen frisches brot gebracht und wir haben eine weile über das wetter gesprochen.",
+    "fr": "mon voisin a apporté du pain frais ce matin et nous avons parlé du temps pendant un moment.",
+    "es": "mi vecino trajo pan fresco esta mañana y hablamos del tiempo durante un rato.",
+    "it": "il mio vicino ha portato del pane fresco questa mattina e abbiamo parlato del tempo per un po.",
+    "pt": "o meu vizinho trouxe pão fresco esta manhã e conversámos sobre o tempo durante algum tempo.",
+    "nl": "mijn buurman bracht vanmorgen vers brood en we hebben een tijdje over het weer gepraat.",
+}
+
+
+def test_ngram_lang_id_accuracy_python():
+    """Cavnar-Trenkle profiles must classify held-out sentences (NOT in the
+    seed corpora) correctly for every language."""
+    from fast_er_spark.functions.text import ngram_lang_profiles, predict_lang_ngram_py
+
+    profiles = ngram_lang_profiles()
+    for lang, sent in HELD_OUT_SENTENCES.items():
+        got = predict_lang_ngram_py(sent, profiles)
+        assert got == lang, (lang, got)
+    assert predict_lang_ngram_py(None, profiles) is None
+    assert predict_lang_ngram_py("   ", profiles) is None
+
+
+def test_ngram_lang_id_engines_agree(spark):
+    """The JVM kernel and the Arrow fallback must return identical
+    predictions — including on NBSP-separated and accented text."""
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.functions.jvm_sketch import ensure_jvm_udfs
+    from fast_er_spark.functions.text import lang_id_ngram
+
+    if not ensure_jvm_udfs(spark):
+        import pytest
+        pytest.skip("no JDK")
+    texts = list(HELD_OUT_SENTENCES.values()) + [
+        "the cat sat on the mat and looked at the dog",
+        "das wetter ist heute wirklich sehr schön geworden",
+        "",
+        "   ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    rows = df.select(
+        "i",
+        lang_id_ngram(F.col("t"), jvm=True).alias("j"),
+        lang_id_ngram(F.col("t"), jvm=False).alias("p"),
+    ).collect()
+    for r in rows:
+        assert r["j"] == r["p"], (texts[r["i"]], r["j"], r["p"])
