@@ -186,12 +186,32 @@ class Comparison:
             F.col(_ROW_ID).alias("id_b"), *self.vars_fuzzy_b, *self.vars_exact_b, *bl
         )
         self._ab = (a, b)
+        # ALL variables' distinct-value counts in ONE aggregation job per
+        # side (2 jobs total): default_value_candidates otherwise runs two
+        # count jobs per fuzzy variable just to pick cross-vs-LSH and size
+        # the JW stage (~5 s of driver-side latency at 4 variables)
+        sizes_ab = None
+        if self.k_fuzzy and candidates is None:
+            da = a.agg(
+                *[
+                    F.count_distinct(F.col(c).cast("string")).alias(f"c{i}")
+                    for i, c in enumerate(self.vars_fuzzy_a)
+                ]
+            ).collect()[0]
+            db = b.agg(
+                *[
+                    F.count_distinct(F.col(c).cast("string")).alias(f"c{i}")
+                    for i, c in enumerate(self.vars_fuzzy_b)
+                ]
+            ).collect()[0]
+            sizes_ab = [(int(da[f"c{i}"]), int(db[f"c{i}"])) for i in range(self.k_fuzzy)]
         fuzzy_frames = []
-        for ca, cb in zip(self.vars_fuzzy_a, self.vars_fuzzy_b):
+        for i, (ca, cb) in enumerate(zip(self.vars_fuzzy_a, self.vars_fuzzy_b)):
             fuzzy_frames.append(
                 fuzzy_levels_linkage(
                     a, b, ca, cb, "id_a", "id_b", p, lower_thr, upper_thr,
                     candidates, block=blk,
+                    sizes=sizes_ab[i] if sizes_ab else None,
                 )
             )
         # sparse-engine guard: the analytical exact counts CUBE expands 2^k
@@ -499,10 +519,24 @@ class Deduplication:
             raise RuntimeError("already fitted")
         d = self.df.select(F.col(_ROW_ID).alias("id"), *self.vars_fuzzy, *self.vars_exact)
         self._d = d
+        # one aggregation job for every variable's distinct count (see
+        # Comparison.fit) — the dedup candidate universe is vals x vals
+        sizes_d = None
+        if self.k_fuzzy and candidates is None:
+            dc = d.agg(
+                *[
+                    F.count_distinct(F.col(c).cast("string")).alias(f"c{i}")
+                    for i, c in enumerate(self.vars_fuzzy)
+                ]
+            ).collect()[0]
+            sizes_d = [int(dc[f"c{i}"]) for i in range(self.k_fuzzy)]
         fuzzy_frames = []
-        for c in self.vars_fuzzy:
+        for i, c in enumerate(self.vars_fuzzy):
             fuzzy_frames.append(
-                fuzzy_levels_dedup(d, c, "id", p, lower_thr, upper_thr, candidates)
+                fuzzy_levels_dedup(
+                    d, c, "id", p, lower_thr, upper_thr, candidates,
+                    sizes=(sizes_d[i], sizes_d[i]) if sizes_d else None,
+                )
             )
         # same 2^k CUBE-expansion guard as Comparison.fit
         if exact_sparse and self.k_fuzzy >= 1 and 1 <= self.k_exact <= 8:

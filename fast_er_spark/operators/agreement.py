@@ -132,6 +132,7 @@ def default_value_candidates(
     triangular: bool = False,
     pair_budget: int | None = None,
     pairs_per_partition: int = PAIRS_PER_PARTITION,
+    sizes: tuple | None = None,
 ) -> DataFrame:
     """Adaptive candidate frame (val_a, val_b) for fuzzy scoring.
 
@@ -145,7 +146,10 @@ def default_value_candidates(
     if pair_budget is None:
         cores = vals_a.sparkSession.sparkContext.defaultParallelism
         pair_budget = AUTO_LSH_PAIRS_PER_CORE * max(1, cores)
-    na, nb = vals_a.count(), vals_b.count()
+    # sizes: caller-precomputed distinct counts (Comparison.fit batches ALL
+    # variables' counts into one aggregation job per side — 2 jobs instead
+    # of 2 per variable)
+    na, nb = sizes if sizes is not None else (vals_a.count(), vals_b.count())
     if na * nb > pair_budget:
         # equal values are ALWAYS candidates via one hash equi-join: at
         # corpus scale most true matches agree byte-exactly, and their
@@ -190,6 +194,7 @@ def scored_value_pairs(
     candidates: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
     triangular: bool = False,
     engine: str = "auto",
+    sizes: tuple | None = None,
 ) -> DataFrame:
     """(val_a, val_b, level) for level > 0, over distinct value frames.
 
@@ -216,6 +221,7 @@ def scored_value_pairs(
             pairs_per_partition=(
                 PAIRS_PER_PARTITION_JVM if use_jvm else PAIRS_PER_PARTITION
             ),
+            sizes=sizes,
         )
     else:
         cand = candidates(vals_a, vals_b)
@@ -249,6 +255,7 @@ def fuzzy_levels_linkage(
     upper: float = 0.94,
     candidates=None,
     block: bool = False,
+    sizes: tuple | None = None,
 ) -> DataFrame:
     """(id_a, id_b, level) for one fuzzy variable across A x B.
 
@@ -263,7 +270,7 @@ def fuzzy_levels_linkage(
     vals_b = df_b.select(F.col(col_b).cast("string").alias("val_b")).where(
         F.col("val_b").isNotNull()
     ).distinct()
-    matched = scored_value_pairs(vals_a, vals_b, p, lower, upper, candidates)
+    matched = scored_value_pairs(vals_a, vals_b, p, lower, upper, candidates, sizes=sizes)
     bl = ["__block"] if block else []
     rows_a = df_a.select(F.col(id_a), F.col(col_a).cast("string").alias("val_a"), *bl)
     rows_b = df_b.select(F.col(id_b), F.col(col_b).cast("string").alias("val_b"), *bl)
@@ -283,6 +290,7 @@ def fuzzy_levels_dedup(
     upper: float = 0.94,
     candidates=None,
     block: bool = False,
+    sizes: tuple | None = None,
 ) -> DataFrame:
     """(id_a, id_b, level) with id_a > id_b for one fuzzy variable within df.
 
@@ -295,7 +303,9 @@ def fuzzy_levels_dedup(
     # different-value candidates: unordered value pairs (val_a < val_b),
     # each scored exactly once (JW is symmetric)
     vals_b = vals.select(F.col("val_a").alias("val_b"))
-    matched = scored_value_pairs(vals, vals_b, p, lower, upper, candidates, triangular=True)
+    matched = scored_value_pairs(
+        vals, vals_b, p, lower, upper, candidates, triangular=True, sizes=sizes
+    )
 
     bl = ["__block"] if block else []
     rows = df.select(F.col(id_col), F.col(col).cast("string").alias("val"), *bl)
