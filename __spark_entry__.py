@@ -346,7 +346,7 @@ def q_lang_id(spark, sf_dir):
 
 def q_lang_id_ngram(spark, sf_dir):
     """Statistical language-ID: Cavnar-Trenkle character-n-gram rank
-    profiles (top-300 1..3-grams, out-of-place distance) over 7 languages —
+    profiles (top-300 1..3-grams, out-of-place distance) over 9 languages —
     the production-grade upgrade over marker-token counting. JVM kernel
     when a JDK is present, identical-algorithm Arrow fallback otherwise.
     Rows-only: the rank-profile pipeline is not expressible as a DuckDB

@@ -210,6 +210,19 @@ NGRAM_SEED_TEXTS = {
         "aankwam. mensen denken vaak na over wat ze van het leven willen "
         "en hoe ze dat met de hulp van hun vrienden kunnen bereiken."
     ),
+    "ru": (
+        "быстрая коричневая лиса прыгает через ленивую собаку пока дети "
+        "смотрят из сада. это было лучшее и худшее время для всех людей в "
+        "маленьком городе. она сказала что им придется ждать до утра пока "
+        "не придет поезд с письмами. люди часто думают о том чего они "
+        "хотят от жизни и как этого достичь с помощью своих друзей."
+    ),
+    "zh": (
+        "敏捷的棕色狐狸跳过了懒惰的狗孩子们在花园里看着。那是最好的时代也是"
+        "最坏的时代对小镇上的所有人来说都是如此。她说他们必须等到早上火车"
+        "带着信件到达。人们常常思考自己想从生活中得到什么以及如何在朋友的"
+        "帮助下实现它。"
+    ),
 }
 
 _NGRAM_K = 300

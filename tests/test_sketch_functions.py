@@ -147,6 +147,8 @@ HELD_OUT_SENTENCES = {
     "it": "il mio vicino ha portato del pane fresco questa mattina e abbiamo parlato del tempo per un po.",
     "pt": "o meu vizinho trouxe pão fresco esta manhã e conversámos sobre o tempo durante algum tempo.",
     "nl": "mijn buurman bracht vanmorgen vers brood en we hebben een tijdje over het weer gepraat.",
+    "ru": "мой сосед сегодня утром принес свежий хлеб и мы немного поговорили о погоде.",
+    "zh": "我的邻居今天早上带来了新鲜的面包我们聊了一会儿天气。",
 }
 
 
