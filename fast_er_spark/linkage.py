@@ -494,6 +494,7 @@ class Deduplication:
             if c not in df.columns:
                 raise ValueError(f"column {c} not in df")
         self.df = _with_row_id(df, id_col)
+        self.id_col = id_col
         self.vars_fuzzy = vars_fuzzy
         self.vars_exact = vars_exact
         self.k_fuzzy = len(vars_fuzzy)
@@ -554,14 +555,40 @@ class Deduplication:
 
     def _fit_sparse(self, d: DataFrame, fuzzy_frames) -> None:
         st = strides(self.k_fuzzy, self.k_exact)
-        contribs = [
-            f.select("id_a", "id_b", (F.col("level") * F.lit(s)).alias("contrib"))
-            for f, s in zip(fuzzy_frames, st[: self.k_fuzzy])
-        ]
+        # packed 12-byte shuffle rows on the positional-id path — see
+        # Comparison._fit_sparse
+        pack = self.id_col is None
+        if pack:
+            key = F.shiftleft(F.col("id_a"), 32).bitwiseOR(F.col("id_b"))
+            contribs = [
+                f.select(
+                    key.alias("__k"),
+                    (F.col("level") * F.lit(s)).cast("int").alias("contrib"),
+                )
+                for f, s in zip(fuzzy_frames, st[: self.k_fuzzy])
+            ]
+        else:
+            contribs = [
+                f.select("id_a", "id_b", (F.col("level") * F.lit(s)).alias("contrib"))
+                for f, s in zip(fuzzy_frames, st[: self.k_fuzzy])
+            ]
         u = contribs[0]
         for c in contribs[1:]:
             u = u.unionByName(c)
-        sparse = u.groupBy("id_a", "id_b").agg(F.sum("contrib").cast("long").alias("__fz"))
+        if pack:
+            sparse = (
+                u.groupBy("__k")
+                .agg(F.sum("contrib").cast("long").alias("__fz"))
+                .select(
+                    F.shiftrightunsigned(F.col("__k"), 32).cast("long").alias("id_a"),
+                    F.col("__k").bitwiseAND(F.lit((1 << 32) - 1)).cast("long").alias("id_b"),
+                    "__fz",
+                )
+            )
+        else:
+            sparse = u.groupBy("id_a", "id_b").agg(
+                F.sum("contrib").cast("long").alias("__fz")
+            )
         exact_expr = F.lit(0).cast("long")
         for idx, c in enumerate(self.vars_exact):
             s = st[self.k_fuzzy + idx]
