@@ -873,7 +873,7 @@ FROM t
     )
     sqls["quality_gopher"] = f"""
 WITH t AS (
-  SELECT doc_id,
+  SELECT doc_id, (text IS NULL) AS tn,
     len(regexp_extract_all(text, '\\S+')) AS n_words,
     length(regexp_replace(text, '\\s+', '', 'g')) AS word_chars,
     len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym,
@@ -885,7 +885,7 @@ WITH t AS (
   FROM documents
 ),
 r AS (
-  SELECT doc_id, n_words, n_stop,
+  SELECT doc_id, tn, n_words, n_stop,
     CASE WHEN n_words > 0 THEN word_chars * 1.0 / n_words ELSE 0.0 END AS mean_wl,
     CASE WHEN n_words > 0 THEN n_sym * 1.0 / n_words ELSE 0.0 END AS sym_r,
     n_bullet * 1.0 / n_lines AS bull_r,
@@ -894,18 +894,20 @@ r AS (
   FROM t
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-  CAST(n_words AS BIGINT) AS n_words,
-  round(mean_wl, 6) AS mean_word_len,
-  round(sym_r, 6) AS symbol_ratio,
-  round(bull_r, 6) AS bullet_ratio,
-  round(ell_r, 6) AS ellipsis_ratio,
-  round(alpha_r, 6) AS alpha_ratio,
-  CAST(n_stop AS BIGINT) AS stopword_hits,
-  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-         AND mean_wl BETWEEN 3.0 AND 10.0
-         AND sym_r <= 0.1 AND bull_r <= 0.9 AND ell_r <= 0.3
-         AND alpha_r >= 0.8 AND n_stop >= 2
-       THEN 1 ELSE 0 END AS BIGINT) AS passes
+  CASE WHEN tn THEN NULL ELSE CAST(n_words AS BIGINT) END AS n_words,
+  CASE WHEN tn THEN NULL ELSE round(mean_wl, 6) END AS mean_word_len,
+  CASE WHEN tn THEN NULL ELSE round(sym_r, 6) END AS symbol_ratio,
+  CASE WHEN tn THEN NULL ELSE round(bull_r, 6) END AS bullet_ratio,
+  CASE WHEN tn THEN NULL ELSE round(ell_r, 6) END AS ellipsis_ratio,
+  CASE WHEN tn THEN NULL ELSE round(alpha_r, 6) END AS alpha_ratio,
+  CASE WHEN tn THEN NULL ELSE CAST(n_stop AS BIGINT) END AS stopword_hits,
+  CASE WHEN tn THEN NULL ELSE
+    CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+           AND mean_wl BETWEEN 3.0 AND 10.0
+           AND sym_r <= 0.1 AND bull_r <= 0.9 AND ell_r <= 0.3
+           AND alpha_r >= 0.8 AND n_stop >= 2
+         THEN 1 ELSE 0 END AS BIGINT)
+  END AS passes
 FROM r
 """
     sqls["doc_fingerprint"] = """

@@ -267,14 +267,26 @@ def ngram_lang_profiles(seed_texts: dict | None = None, k: int = _NGRAM_K) -> di
 
 def ngram_profile_spec(profiles: dict) -> str:
     """Serialize profiles for the JVM kernel (insertion order preserved):
-    lang \\x02 ng1 \\x01 ng2 ... languages joined by \\x03."""
+    lang \\x02 ng1 \\x01 ng2 ... languages joined by \\x03. Control
+    separators cannot appear in n-grams built by ngram_lang_profiles (the
+    normalizer maps whitespace classes to ' ' and text never contains
+    \\x01-\\x03 after it) — validated here for externally-built profiles."""
+    for lg, ngs in profiles.items():
+        for tok in [lg, *ngs]:
+            if any(ch in tok for ch in "\x00\x01\x02\x03"):
+                raise ValueError(
+                    f"profile entry {tok!r} contains a control separator"
+                )
     return "\x03".join(lg + "\x02" + "\x01".join(ngs) for lg, ngs in profiles.items())
 
 
-def predict_lang_ngram_py(text: str | None, profiles: dict, k: int = _NGRAM_K) -> str | None:
-    """Pure-Python twin of the JVM kernel (identical algorithm + tie
-    rules for BMP text): blank/None -> None; ties -> first language in
-    profile insertion order."""
+def _rank_lookup(profiles: dict) -> dict:
+    """{lang: {ngram: rank}} — built ONCE and reused per document (building
+    these dicts per call dominated the Arrow fallback's per-row cost)."""
+    return {lg: {g: r for r, g in enumerate(ngs)} for lg, ngs in profiles.items()}
+
+
+def _predict_from_ranks(text: str | None, ranks: dict, k: int) -> str | None:
     if text is None:
         return None
     counts = _ngram_counts(text)
@@ -282,12 +294,19 @@ def predict_lang_ngram_py(text: str | None, profiles: dict, k: int = _NGRAM_K) -
         return None
     doc = _rank_profile(counts, k)
     best, best_d = None, None
-    for lg, ngs in profiles.items():
-        rank = {g: r for r, g in enumerate(ngs)}
+    for lg, rank in ranks.items():
         d = sum(abs(r - rank[g]) if g in rank else k for r, g in enumerate(doc))
         if best_d is None or d < best_d:
             best, best_d = lg, d
     return best
+
+
+def predict_lang_ngram_py(text: str | None, profiles: dict, k: int = _NGRAM_K) -> str | None:
+    """Pure-Python twin of the JVM kernel (identical algorithm + tie
+    rules for BMP text): blank/None -> None; ties -> first language in
+    profile insertion order. For batch use, hoist _rank_lookup(profiles)
+    and call _predict_from_ranks (the pandas_udf fallback does)."""
+    return _predict_from_ranks(text, _rank_lookup(profiles), k)
 
 
 def lang_id_ngram(col: Column, profiles: dict | None = None, jvm: bool = False) -> Column:
@@ -301,9 +320,11 @@ def lang_id_ngram(col: Column, profiles: dict | None = None, jvm: bool = False) 
 
         return ngram_lang_id_jvm(col, ngram_profile_spec(profiles))
 
+    ranks = _rank_lookup(profiles)
+
     @F.pandas_udf("string")
     def pred(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: predict_lang_ngram_py(t, profiles))
+        return texts.map(lambda t: _predict_from_ranks(t, ranks, _NGRAM_K))
 
     return pred(col)
 
@@ -335,8 +356,15 @@ def gopher_stats(
     word_chars = F.length(F.regexp_replace(col, r"\s+", ""))
     n_sym = F.regexp_count(col, F.lit(r"#|\.\.\.|…"))
     n_lines = F.regexp_count(col, F.lit(r"\n")) + F.lit(1)
-    n_bullet = F.regexp_count(col, F.lit(r"(?m)^[ \t]*[-*•‣▪]"))
-    n_ell = F.regexp_count(col, F.lit(r"(?m)(\.\.\.|…)[ \t]*$"))
+    # (?d) = Java UNIX_LINES: ^/$ anchor ONLY at \n, matching RE2's
+    # multiline semantics in the DuckDB twin. Without it Java also anchors
+    # at \r/\u0085/\u2028/\u2029, so CRLF text would count ellipsis/bullet
+    # lines on one engine and not the other. Consequence (both engines,
+    # consistently): lines terminated by \r\n do NOT count as
+    # ellipsis-ended (the \r intervenes) — normalize newlines upstream if
+    # that matters.
+    n_bullet = F.regexp_count(col, F.lit(r"(?dm)^[ \t]*[-*•‣▪]"))
+    n_ell = F.regexp_count(col, F.lit(r"(?dm)(\.\.\.|…)[ \t]*$"))
     n_alpha = F.regexp_count(col, F.lit(r"[^\s]*[A-Za-z][^\s]*"))
     low = F.lower(col)
     n_stop = sum(
@@ -374,8 +402,23 @@ def gopher_stats(
 
 def marker_spec(markers: dict) -> str:
     """Serialize {lang: [marker, ...]} for the JVM marker-counts kernel
-    (insertion order preserved — counts come back in this order)."""
-    return "|".join(f"{lg}:{','.join(ws)}" for lg, ws in markers.items())
+    (insertion order preserved — counts come back in this order).
+
+    Markers are DEDUPED per language (the expression path's isin has set
+    semantics; a duplicated word must not double-count on the JVM path)
+    and validated against the spec delimiters — an unescapable ':' ',' '|'
+    or control separator inside a marker would silently corrupt the parsed
+    word lists."""
+    for lg, ws in markers.items():
+        for tok in [lg, *ws]:
+            if any(ch in tok for ch in ":,|\x00\x01\x02\x03"):
+                raise ValueError(
+                    f"marker/lang {tok!r} contains a spec delimiter "
+                    "(':', ',', '|' or a control separator)"
+                )
+    return "|".join(
+        f"{lg}:{','.join(dict.fromkeys(ws))}" for lg, ws in markers.items()
+    )
 
 
 def lang_marker_counts(col: Column, markers: dict, jvm: bool = False) -> Column:
@@ -387,6 +430,8 @@ def lang_marker_counts(col: Column, markers: dict, jvm: bool = False) -> Column:
         from .jvm_sketch import marker_counts_jvm
 
         return marker_counts_jvm(col, marker_spec(markers))
-    return F.array(
-        *[lang_marker_score(col, mk).cast("long") for mk in markers.values()]
+    # null text -> NULL (not an array of nulls), matching the JVM kernel
+    return F.when(
+        col.isNotNull(),
+        F.array(*[lang_marker_score(col, mk).cast("long") for mk in markers.values()]),
     )

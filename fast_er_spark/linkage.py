@@ -43,8 +43,13 @@ __all__ = ["Comparison", "Deduplication", "Linkage", "Estimation"]
 _ROW_ID = "__row_id"
 
 
-def _with_row_id(df: DataFrame, order_col: str | None) -> DataFrame:
-    """Stable long row id. If the table has a natural unique long key, pass it
+def _with_row_id(df: DataFrame, order_col: str | None) -> tuple[DataFrame, int | None]:
+    """(frame with a stable long row id, total row count or None).
+
+    The count is known FOR FREE on the positional path (the offset scan
+    sums partition sizes) and None on the natural-key path — callers use it
+    to gate the packed-pair-key optimization, whose encoding is only sound
+    for ids < 2^31. Stable long row id rules: if the table has a natural unique long key, pass it
     as order_col (the scale path — zero extra work). Otherwise positional ids
     (partition-major, row order within partition — the same ids zipWithIndex
     assigns, which reproduce the reference's pandas positional index,
@@ -64,7 +69,7 @@ def _with_row_id(df: DataFrame, order_col: str | None) -> DataFrame:
     — the single remaining non-kernel Python pass on the reference-workload
     path (measured: see PERF.md round 4)."""
     if order_col is not None:
-        return df.withColumn(_ROW_ID, F.col(order_col).cast("long"))
+        return df.withColumn(_ROW_ID, F.col(order_col).cast("long")), None
     spark = df.sparkSession
     mid = df.withColumn("__mid", F.monotonically_increasing_id()).localCheckpoint(eager=True)
     part_of = F.shiftrightunsigned(F.col("__mid"), 33)
@@ -99,7 +104,7 @@ def _with_row_id(df: DataFrame, order_col: str | None) -> DataFrame:
             .coalesce(1)
             .localCheckpoint(eager=True)
         )
-    return (
+    out = (
         mid.withColumn("__pid", part_of)
         .join(F.broadcast(off_df), "__pid")
         .withColumn(
@@ -108,6 +113,65 @@ def _with_row_id(df: DataFrame, order_col: str | None) -> DataFrame:
         )
         .drop("__pid", "__off", "__mid")
     )
+    return out, acc
+
+
+# the packed (id_a << 32 | id_b) key only has 32 bits per side; positional
+# ids are bounded by the row count, so packing is gated on BOTH counts
+# being known and under this limit (natural keys: unknown -> never packed)
+_PACK_MAX_ID = 1 << 31
+
+
+def _pack_ok(*totals: int | None) -> bool:
+    return all(t is not None and t < _PACK_MAX_ID for t in totals)
+
+
+def _batched_distinct_counts(df: DataFrame, cols: list[str]) -> list[int]:
+    """Every column's distinct non-null count in ONE aggregation job."""
+    row = df.agg(
+        *[
+            F.count_distinct(F.col(c).cast("string")).alias(f"c{i}")
+            for i, c in enumerate(cols)
+        ]
+    ).collect()[0]
+    return [int(row[f"c{i}"]) for i in range(len(cols))]
+
+
+def _sparse_fuzzy_union(fuzzy_frames, st, k_fuzzy: int, pack: bool) -> DataFrame:
+    """union + groupBy of per-variable level frames -> (id_a, id_b, __fz).
+
+    The union is the engine's dominant shuffle (~2.3e8 level-edge rows at
+    100k x 100k). ``pack=True`` (gated by _pack_ok: every id provably
+    < 2^31) carries ONE packed long key (id_a << 32 | id_b) and an int
+    contribution — 12 bytes per shuffle row instead of 24."""
+    if pack:
+        key = F.shiftleft(F.col("id_a"), 32).bitwiseOR(F.col("id_b"))
+        contribs = [
+            f.select(
+                key.alias("__k"),
+                (F.col("level") * F.lit(s)).cast("int").alias("contrib"),
+            )
+            for f, s in zip(fuzzy_frames, st[:k_fuzzy])
+        ]
+    else:
+        contribs = [
+            f.select("id_a", "id_b", (F.col("level") * F.lit(s)).alias("contrib"))
+            for f, s in zip(fuzzy_frames, st[:k_fuzzy])
+        ]
+    u = contribs[0]
+    for c in contribs[1:]:
+        u = u.unionByName(c)
+    if pack:
+        return (
+            u.groupBy("__k")
+            .agg(F.sum("contrib").cast("long").alias("__fz"))
+            .select(
+                F.shiftrightunsigned(F.col("__k"), 32).cast("long").alias("id_a"),
+                F.col("__k").bitwiseAND(F.lit((1 << 32) - 1)).cast("long").alias("id_b"),
+                "__fz",
+            )
+        )
+    return u.groupBy("id_a", "id_b").agg(F.sum("contrib").cast("long").alias("__fz"))
 
 
 class Comparison:
@@ -138,8 +202,8 @@ class Comparison:
         for c in vars_fuzzy_b + vars_exact_b:
             if c not in df_b.columns:
                 raise ValueError(f"column {c} not in df_b")
-        self.df_a = _with_row_id(df_a, id_a)
-        self.df_b = _with_row_id(df_b, id_b)
+        self.df_a, self._n_a = _with_row_id(df_a, id_a)
+        self.df_b, self._n_b = _with_row_id(df_b, id_b)
         self.id_a = id_a
         self.id_b = id_b
         self.blocking_a = blocking_a
@@ -192,19 +256,9 @@ class Comparison:
         # the JW stage (~5 s of driver-side latency at 4 variables)
         sizes_ab = None
         if self.k_fuzzy and candidates is None:
-            da = a.agg(
-                *[
-                    F.count_distinct(F.col(c).cast("string")).alias(f"c{i}")
-                    for i, c in enumerate(self.vars_fuzzy_a)
-                ]
-            ).collect()[0]
-            db = b.agg(
-                *[
-                    F.count_distinct(F.col(c).cast("string")).alias(f"c{i}")
-                    for i, c in enumerate(self.vars_fuzzy_b)
-                ]
-            ).collect()[0]
-            sizes_ab = [(int(da[f"c{i}"]), int(db[f"c{i}"])) for i in range(self.k_fuzzy)]
+            da = _batched_distinct_counts(a, self.vars_fuzzy_a)
+            db = _batched_distinct_counts(b, self.vars_fuzzy_b)
+            sizes_ab = list(zip(da, db))
         fuzzy_frames = []
         for i, (ca, cb) in enumerate(zip(self.vars_fuzzy_a, self.vars_fuzzy_b)):
             fuzzy_frames.append(
@@ -239,46 +293,11 @@ class Comparison:
     # ------------------------------------------------- sparse-exact engine
     def _fit_sparse(self, a: DataFrame, b: DataFrame, fuzzy_frames) -> None:
         st = strides(self.k_fuzzy, self.k_exact)
-        # The union + groupBy is the engine's dominant shuffle (~2.3e8
-        # level-edge rows at 100k x 100k). On the POSITIONAL-id path both
-        # ids are consecutive row indices < 2^31, so the pair packs into ONE
-        # long (id_a << 32 | id_b) and the contribution into an int
-        # (pattern space is tiny): 12 bytes per shuffle row instead of 24,
-        # halving shuffle write+read on the hottest exchange. Natural-key
-        # callers keep the two-column key (ids may exceed 2^31 / be
-        # negative).
-        pack = self.id_a is None and self.id_b is None
-        if pack:
-            key = F.shiftleft(F.col("id_a"), 32).bitwiseOR(F.col("id_b"))
-            contribs = [
-                f.select(
-                    key.alias("__k"),
-                    (F.col("level") * F.lit(s)).cast("int").alias("contrib"),
-                )
-                for f, s in zip(fuzzy_frames, st[: self.k_fuzzy])
-            ]
-        else:
-            contribs = [
-                f.select("id_a", "id_b", (F.col("level") * F.lit(s)).alias("contrib"))
-                for f, s in zip(fuzzy_frames, st[: self.k_fuzzy])
-            ]
-        u = contribs[0]
-        for c in contribs[1:]:
-            u = u.unionByName(c)
-        if pack:
-            sparse = (
-                u.groupBy("__k")
-                .agg(F.sum("contrib").cast("long").alias("__fz"))
-                .select(
-                    F.shiftrightunsigned(F.col("__k"), 32).cast("long").alias("id_a"),
-                    F.col("__k").bitwiseAND(F.lit((1 << 32) - 1)).cast("long").alias("id_b"),
-                    "__fz",
-                )
-            )
-        else:
-            sparse = u.groupBy("id_a", "id_b").agg(
-                F.sum("contrib").cast("long").alias("__fz")
-            )
+        pack = (
+            self.id_a is None and self.id_b is None
+            and _pack_ok(self._n_a, self._n_b)
+        )
+        sparse = _sparse_fuzzy_union(fuzzy_frames, st, self.k_fuzzy, pack)
         # exact agreement is a per-pair LOOKUP on the (small-per-pair) sparse
         # frame — two equi-joins per exact variable against the id->value
         # projections, never a pair-materializing self-join
@@ -493,7 +512,7 @@ class Deduplication:
         for c in vars_fuzzy + vars_exact:
             if c not in df.columns:
                 raise ValueError(f"column {c} not in df")
-        self.df = _with_row_id(df, id_col)
+        self.df, self._n = _with_row_id(df, id_col)
         self.id_col = id_col
         self.vars_fuzzy = vars_fuzzy
         self.vars_exact = vars_exact
@@ -524,13 +543,7 @@ class Deduplication:
         # Comparison.fit) — the dedup candidate universe is vals x vals
         sizes_d = None
         if self.k_fuzzy and candidates is None:
-            dc = d.agg(
-                *[
-                    F.count_distinct(F.col(c).cast("string")).alias(f"c{i}")
-                    for i, c in enumerate(self.vars_fuzzy)
-                ]
-            ).collect()[0]
-            sizes_d = [int(dc[f"c{i}"]) for i in range(self.k_fuzzy)]
+            sizes_d = _batched_distinct_counts(d, self.vars_fuzzy)
         fuzzy_frames = []
         for i, c in enumerate(self.vars_fuzzy):
             fuzzy_frames.append(
@@ -555,40 +568,8 @@ class Deduplication:
 
     def _fit_sparse(self, d: DataFrame, fuzzy_frames) -> None:
         st = strides(self.k_fuzzy, self.k_exact)
-        # packed 12-byte shuffle rows on the positional-id path — see
-        # Comparison._fit_sparse
-        pack = self.id_col is None
-        if pack:
-            key = F.shiftleft(F.col("id_a"), 32).bitwiseOR(F.col("id_b"))
-            contribs = [
-                f.select(
-                    key.alias("__k"),
-                    (F.col("level") * F.lit(s)).cast("int").alias("contrib"),
-                )
-                for f, s in zip(fuzzy_frames, st[: self.k_fuzzy])
-            ]
-        else:
-            contribs = [
-                f.select("id_a", "id_b", (F.col("level") * F.lit(s)).alias("contrib"))
-                for f, s in zip(fuzzy_frames, st[: self.k_fuzzy])
-            ]
-        u = contribs[0]
-        for c in contribs[1:]:
-            u = u.unionByName(c)
-        if pack:
-            sparse = (
-                u.groupBy("__k")
-                .agg(F.sum("contrib").cast("long").alias("__fz"))
-                .select(
-                    F.shiftrightunsigned(F.col("__k"), 32).cast("long").alias("id_a"),
-                    F.col("__k").bitwiseAND(F.lit((1 << 32) - 1)).cast("long").alias("id_b"),
-                    "__fz",
-                )
-            )
-        else:
-            sparse = u.groupBy("id_a", "id_b").agg(
-                F.sum("contrib").cast("long").alias("__fz")
-            )
+        pack = self.id_col is None and _pack_ok(self._n)
+        sparse = _sparse_fuzzy_union(fuzzy_frames, st, self.k_fuzzy, pack)
         exact_expr = F.lit(0).cast("long")
         for idx, c in enumerate(self.vars_exact):
             s = st[self.k_fuzzy + idx]
@@ -714,7 +695,7 @@ class Linkage:
                 )
             if id_col not in df.columns:
                 raise ValueError(f"df_{side} lacks the Comparison id column {id_col!r}")
-            return _with_row_id(df, id_col)
+            return _with_row_id(df, id_col)[0]
 
         self.df_a = bind(df_a, getattr(comparison, "id_a", None), comparison.df_a, "a")
         self.df_b = bind(df_b, getattr(comparison, "id_b", None), comparison.df_b, "b")

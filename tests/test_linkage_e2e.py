@@ -259,7 +259,8 @@ def test_row_id_matches_zipwithindex_and_runs_no_python(spark, monkeypatch):
         property(lambda self: (_ for _ in ()).throw(AssertionError(".rdd accessed"))),
     )
     try:
-        out = _with_row_id(df, None)
+        out, n_total = _with_row_id(df, None)
+        assert n_total == 997  # the positional path reports its row count
         got = {r["payload"]: r[_ROW_ID] for r in out.collect()}
         plan = formatted_plan(out)
     finally:

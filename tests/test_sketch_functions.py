@@ -190,3 +190,69 @@ def test_ngram_lang_id_engines_agree(spark):
     ).collect()
     for r in rows:
         assert r["j"] == r["p"], (texts[r["i"]], r["j"], r["p"])
+
+
+def test_gopher_crlf_and_null_parity(spark):
+    """Review findings: (a) the multiline regexes use UNIX_LINES so Java and
+    RE2 agree on CRLF text (neither counts \r\n-terminated ellipsis lines);
+    (b) null text yields a NULL struct (the oracle SQL mirrors this)."""
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.functions.text import gopher_stats
+
+    crlf = ("the data and pipeline have tokens with words that flow " * 3
+            + "...\r\n") * 10
+    lf = ("the data and pipeline have tokens with words that flow " * 3
+          + "...\n") * 10
+    df = spark.createDataFrame(
+        [(0, crlf), (1, lf), (2, None)], "i long, text string"
+    )
+    got = {
+        r["i"]: (r["g"].asDict() if r["g"] is not None else None)
+        for r in df.select("i", gopher_stats(F.col("text")).alias("g")).collect()
+    }
+    # CRLF: \r intervenes before the anchor -> 0 ellipsis lines (consistent
+    # with the RE2 oracle); LF: every line counts
+    assert got[0]["ellipsis_ratio"] == 0.0, got[0]
+    assert got[1]["ellipsis_ratio"] > 0.3, got[1]
+    assert got[2] is None
+
+
+def test_marker_spec_validation_and_dedup(spark):
+    """Delimiters inside markers must raise (silent JVM-path corruption
+    otherwise) and duplicated markers must not double-count on the JVM
+    path."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.functions.jvm_sketch import ensure_jvm_udfs
+    from fast_er_spark.functions.text import lang_marker_counts, marker_spec
+
+    for bad in ({"en": ["can't,stop"]}, {"en": ["a:b"]}, {"e|n": ["ok"]}):
+        with pytest.raises(ValueError, match="delimiter"):
+            marker_spec(bad)
+
+    if not ensure_jvm_udfs(spark):
+        pytest.skip("no JDK")
+    dup_markers = {"en": ["the", "the", "of"], "de": ["der"]}
+    df = spark.createDataFrame([(0, "the cat of der"), (1, None)], "i long, t string")
+    rows = df.select(
+        "i",
+        lang_marker_counts(F.col("t"), dup_markers, jvm=True).alias("j"),
+        lang_marker_counts(F.col("t"), dup_markers, jvm=False).alias("p"),
+    ).collect()
+    got = {r["i"]: (r["j"], r["p"]) for r in rows}
+    assert got[0][0] == got[0][1] == [2, 1], got[0]  # 'the' once per token
+    assert got[1][0] is None and got[1][1] is None  # null parity both engines
+
+
+def test_pack_gate():
+    """The packed pair key needs both row counts known and < 2^31."""
+    from fast_er_spark.linkage import _PACK_MAX_ID, _pack_ok
+
+    assert _pack_ok(10, 20)
+    assert not _pack_ok(None, 20)
+    assert not _pack_ok(10, None)
+    assert not _pack_ok(_PACK_MAX_ID, 5)
+    assert _pack_ok(_PACK_MAX_ID - 1)
