@@ -323,3 +323,55 @@ def test_text_kernels_match_expressions(spark, jvm):
         assert r["fp_e"] == r["fp_j"], (texts[r["i"]], r["fp_e"], r["fp_j"])
         assert r["q_e"] == r["q_j"], (texts[r["i"]], r["q_e"], r["q_j"])
         assert r["mk_e"] == r["mk_j"], (texts[r["i"]], r["mk_e"], r["mk_j"])
+
+
+def test_text_kernels_randomized_parity(spark, jvm):
+    """Seeded fuzz over adversarial character classes (ASCII, punctuation,
+    every Python-whitespace code point, Latin-1/CJK/Cyrillic letters,
+    combining marks): the JVM text kernels must equal the expression paths
+    on every generated string. One batched comparison, 300 strings."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.functions.text import (
+        rolling_fingerprint,
+        text_stats,
+    )
+
+    ws = [chr(c) for c in (
+        list(range(0x09, 0x0E)) + list(range(0x1C, 0x21))
+        + [0x85, 0xA0, 0x1680] + list(range(0x2000, 0x200B))
+        + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+    )]
+    letters = (
+        [chr(c) for c in range(0x61, 0x7B)]
+        + [chr(c) for c in range(0x30, 0x3A)]
+        + list("!?#.,:;()[]'\"-_%&")
+        + list("àéîöüßñç")
+        + list("жабэюя")
+        + list("中文字漢語")
+        + ["́", "̈"]  # combining marks
+    )
+    rng = random.Random(20240817)
+    texts = []
+    for _ in range(300):
+        n = rng.randint(0, 60)
+        texts.append("".join(
+            rng.choice(ws) if rng.random() < 0.25 else rng.choice(letters)
+            for _ in range(n)
+        ))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    t = F.col("t")
+    rows = df.select(
+        "i",
+        text_stats(t, jvm=False).alias("se"),
+        text_stats(t, jvm=True).alias("sj"),
+        rolling_fingerprint(t, jvm=False).alias("fe"),
+        rolling_fingerprint(t, jvm=True).alias("fj"),
+    ).collect()
+    for r in rows:
+        assert r["se"] == r["sj"], (repr(texts[r["i"]]), r["se"], r["sj"])
+        assert r["fe"] == r["fj"], (repr(texts[r["i"]]), r["fe"], r["fj"])
