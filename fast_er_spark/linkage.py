@@ -705,8 +705,24 @@ class Linkage:
 
     def transform(self, threshold: float = 0.85) -> DataFrame:
         spark = self.patterns.sparkSession
-        ksi_rows = [(int(i), float(v)) for i, v in enumerate(self.ksi)]
-        ksi_df = spark.createDataFrame(ksi_rows, "pattern_id long, ksi double")
+        # literal-expression frame, NOT createDataFrame(list): the tiny
+        # Python-RDD plan costs a ~1-2 s single-task worker job every time
+        # the broadcast side materializes (same finding as the row-id
+        # offsets frame, PERF.md round 4); pattern space is <= 3^f * 2^e
+        # rows, well inside literal-plan territory
+        ksi_df = spark.range(1).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(int(i)).cast("long").alias("pattern_id"),
+                            F.lit(float(v)).cast("double").alias("ksi"),
+                        )
+                        for i, v in enumerate(self.ksi)
+                    ]
+                )
+            ).alias("kv")
+        ).select("kv.pattern_id", "kv.ksi")
         # admitted patterns are known driver-side (ksi is a local array), so
         # the sparse engine can skip the exact-only pair frame entirely when
         # no exact-only pattern clears the threshold
