@@ -108,11 +108,37 @@ def quantize_vector(vec_col, quantize: int = 100):
     """array<float> -> array<long>: components rounded to ``1/quantize``
     units. Integer vectors make the cosine-threshold test exact (no float
     comparison), at the cost of quantization error ~1/(2*quantize) per
-    component — the contract the brute-force oracle twin uses too."""
+    component — the contract the brute-force oracle twin uses too.
+
+    This is the EXPRESSION form (used by the SQL-twinned oracle queries);
+    the scale pair path uses quantize_norm_batch — same values, one
+    vectorized Arrow pass instead of two interpreted per-element HOFs."""
     return F.transform(
         F.col(vec_col) if isinstance(vec_col, str) else vec_col,
         lambda x: F.round(x * quantize).cast("long"),
     )
+
+
+def quantize_norm_batch(quantize: int = 100):
+    """(q: array<long>, n: long) per vector in ONE Arrow pass — the
+    vectorized twin of quantize_vector + the squared-norm fold. Spark's
+    higher-order transform/aggregate run INTERPRETED per element (the
+    measured 16x trap, PERF.md), which at 10^9 x 768-dim vectors puts an
+    interpreter loop on every component; this pays one Arrow crossing for
+    whole-batch numpy instead.
+
+    Value parity is exact: F.round is HALF_UP (away from zero) on the
+    double, replicated as floor(|v| + 0.5) * sign(v) — np.round would be
+    banker's rounding and diverge on exact-.5 doubles (parity-tested)."""
+
+    @F.pandas_udf("q array<long>, n long")
+    def qn(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64) * quantize
+        q = (np.floor(np.abs(mat) + 0.5) * np.sign(mat)).astype(np.int64)
+        n = np.einsum("ij,ij->i", q, q)
+        return pd.DataFrame({"q": list(q), "n": n})
+
+    return qn
 
 
 def quantized_cosine_threshold(threshold: float):
@@ -179,13 +205,15 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).where(F.col("v").isNotNull() & (F.size("v") == dim))
-    # squared norms are per-VECTOR, computed once here — Spark's higher-order
-    # array functions run interpreted, so an O(dim) norm per candidate PAIR
-    # (2x) would triple the verify stage's per-pair cost
-    qcol = quantize_vector("v", quantize)
-    sqn = F.aggregate(qcol, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
-    qv = base.select("id", qcol.alias("q"), sqn.alias("n")).localCheckpoint(
-        eager=False
+    # quantized components + squared norm per VECTOR (never per pair), in
+    # one vectorized Arrow pass — the interpreted transform/aggregate HOFs
+    # this replaces put an interpreter loop on every component
+    # (quantize_norm_batch docstring; values identical, parity-tested)
+    qn = quantize_norm_batch(quantize)
+    qv = (
+        base.withColumn("qn", qn(F.col("v")))
+        .select("id", F.col("qn.q").alias("q"), F.col("qn.n").alias("n"))
+        .localCheckpoint(eager=False)
     )
 
     if method == "srp":

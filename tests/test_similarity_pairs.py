@@ -141,3 +141,36 @@ def test_srp_sketch_multi_matches_single_table(spark):
         }
         for vid, ks in got.items():
             assert ks[t] == exp[vid]
+
+
+def test_quantize_norm_batch_matches_expression(spark):
+    """The Arrow quantizer must equal the expression path bit-for-bit —
+    including exact-.5 doubles, where np.round (banker's) would diverge
+    from F.round (HALF_UP): with quantize=2, +-0.25 -> +-0.5 -> +-1."""
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.operators.similarity import (
+        quantize_norm_batch,
+        quantize_vector,
+    )
+
+    rows = [
+        (0, [0.25, -0.25, 0.75, -0.75]),     # exact .5 multiples at q=2
+        (1, [0.005, -0.005, 0.285, -0.285]),
+        (2, [0.0, 1.0, -1.0, 0.499999999]),
+        (3, [1e-9, -1e-9, 0.9999999, -0.123456]),
+    ]
+    df = spark.createDataFrame(rows, "i long, v array<double>")
+    for q in (2, 100):
+        qcol = quantize_vector("v", q)
+        sqn = F.aggregate(qcol, F.lit(0).cast("long"), lambda a, x: a + x * x)
+        got = {
+            r["i"]: (r["qe"], r["ne"], r["qn"]["q"], r["qn"]["n"])
+            for r in df.select(
+                "i", qcol.alias("qe"), sqn.alias("ne"),
+                quantize_norm_batch(q)(F.col("v")).alias("qn"),
+            ).collect()
+        }
+        for i, (qe, ne, qa, na) in got.items():
+            assert qe == qa, (q, rows[i][1], qe, qa)
+            assert ne == na, (q, rows[i][1], ne, na)
