@@ -279,15 +279,25 @@ def embedding_near_dup_pairs(
     num, den = quantized_cosine_threshold(threshold)
     a = qv.select(F.col("id").alias("id_a"), F.col("q").alias("qa"), F.col("n").alias("na"))
     b = qv.select(F.col("id").alias("id_b"), F.col("q").alias("qb"), F.col("n").alias("nb"))
-    dot = F.aggregate(
-        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+
+    # per-PAIR integer dot in a vectorized Arrow batch, not the interpreted
+    # zip_with+aggregate fold (O(dim) interpreter steps per candidate — the
+    # last per-pair HOF on this path). int64 addition is order-independent,
+    # so the value is EXACTLY the fold's. asNondeterministic: the threshold
+    # filter below references the column; without the marker Catalyst
+    # collapses filter+project into two Arrow stages that each run the UDF
+    # (the jw.py / band_buckets double-eval trap).
+    @F.pandas_udf(T.LongType())
+    def int_dot(qa: pd.Series, qb: pd.Series) -> pd.Series:
+        am = np.stack(qa.to_numpy())
+        bm = np.stack(qb.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", am, bm))
+
+    int_dot = int_dot.asNondeterministic()
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", dot.alias("d"), "na", "nb")
+        .select("id_a", "id_b", int_dot(F.col("qa"), F.col("qb")).alias("d"), "na", "nb")
         .where(
             (F.col("d") > 0)
             & (
