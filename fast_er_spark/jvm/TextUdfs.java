@@ -207,14 +207,33 @@ public class TextUdfs implements UDF1<String, ArrayList<Long>> {
      * functions/text.py::ngram_lang_profiles).
      *
      * Parity contract with the Python twin (predict_lang_ngram_py):
-     * lowercase via Locale.ROOT, Python-whitespace mapped to ' ', n-grams
+     * lowercase replicates CPython str.lower() exactly — per-code-point
+     * simple lowercase mapping plus the single unconditional one-to-many
+     * special case U+0130 -> "i̇" (SpecialCasing.txt); notably NOT
+     * String.toLowerCase(Locale.ROOT), whose contextual final-sigma rule
+     * ('Σ' at word end -> 'ς') diverges from Python's
+     * unconditional 'σ'. Python-whitespace mapped to ' ', n-grams
      * over CODE POINTS, doc profile = top K by (count desc, ngram asc) —
      * tie order is engine-defined for astral-plane n-grams (UTF-16 vs code
-     * point comparison), identical for all BMP text. Blank/None -> null.
+     * point comparison), identical for all BMP text modulo Unicode-table
+     * version skew between the JVM and CPython. Blank/None -> null.
      */
     public static class NgramLangId
             implements UDF2<String, String, String> {
         private static final int K = 300;
+
+        /** CPython str.lower(): simple per-code-point mapping + U+0130. */
+        private static String pyLower(String s) {
+            StringBuilder sb = new StringBuilder(s.length());
+            s.codePoints().forEach(cp -> {
+                if (cp == 0x0130) {
+                    sb.append('i').append('\u0307');
+                } else {
+                    sb.appendCodePoint(Character.toLowerCase(cp));
+                }
+            });
+            return sb.toString();
+        }
         private static final ConcurrentHashMap<String, Object[]> CACHE =
                 new ConcurrentHashMap<>();
 
@@ -244,7 +263,7 @@ public class TextUdfs implements UDF1<String, ArrayList<Long>> {
             @SuppressWarnings("unchecked")
             HashMap<String, Integer>[] profs = (HashMap<String, Integer>[]) parsed[1];
 
-            String low = text.toLowerCase(Locale.ROOT);
+            String low = pyLower(text);
             int[] cps = low.codePoints()
                     .map(cp -> (cp < 0x10000 && isPyWhitespace((char) cp)) ? ' ' : cp)
                     .toArray();

@@ -705,30 +705,45 @@ class Linkage:
 
     def transform(self, threshold: float = 0.85) -> DataFrame:
         spark = self.patterns.sparkSession
-        # literal-expression frame, NOT createDataFrame(list): the tiny
-        # Python-RDD plan costs a ~1-2 s single-task worker job every time
-        # the broadcast side materializes (same finding as the row-id
-        # offsets frame, PERF.md round 4); pattern space is <= 3^f * 2^e
-        # rows, well inside literal-plan territory
-        ksi_df = spark.range(1).select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(int(i)).cast("long").alias("pattern_id"),
-                            F.lit(float(v)).cast("double").alias("ksi"),
-                        )
-                        for i, v in enumerate(self.ksi)
-                    ]
-                )
-            ).alias("kv")
-        ).select("kv.pattern_id", "kv.ksi")
         # admitted patterns are known driver-side (ksi is a local array), so
         # the sparse engine can skip the exact-only pair frame entirely when
         # no exact-only pattern clears the threshold
         admitted = [
             int(i) for i, v in enumerate(self.ksi) if v >= threshold and i != 0
         ]
+        # literal-expression frame, NOT createDataFrame(list): the tiny
+        # Python-RDD plan costs a ~1-2 s single-task worker job every time
+        # the broadcast side materializes (same finding as the row-id
+        # offsets frame, PERF.md round 4). Only ADMITTED patterns need a ksi
+        # value (`base` below is already filtered to them), which keeps the
+        # literal tree small even at many comparison variables; past 20k
+        # admitted patterns fall back to createDataFrame like _with_row_id,
+        # where a literal expression tree would bloat the plan.
+        admitted_ksi = [(i, float(self.ksi[i])) for i in admitted]
+        if len(admitted_ksi) <= 20_000:
+            ksi_df = spark.range(1).select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.lit(-1).cast("long").alias("pattern_id"),
+                            F.lit(0.0).cast("double").alias("ksi"),
+                        ),
+                        *[
+                            F.struct(
+                                F.lit(int(i)).cast("long").alias("pattern_id"),
+                                F.lit(v).cast("double").alias("ksi"),
+                            )
+                            for i, v in admitted_ksi
+                        ],
+                    )
+                ).alias("kv")
+            ).select("kv.pattern_id", "kv.ksi").where(F.col("pattern_id") >= 0)
+        else:
+            ksi_df = (
+                spark.createDataFrame(admitted_ksi, "pattern_id long, ksi double")
+                .coalesce(1)
+                .localCheckpoint(eager=True)
+            )
         if self._comparison is not None and hasattr(self._comparison, "matched_pairs"):
             base = self._comparison.matched_pairs(admitted)
         else:

@@ -111,7 +111,18 @@ def _cc_iterate(e: DataFrame, nodes, id_col: str, max_iter: int, n_part: int) ->
     prev = None
     for _ in range(max_iter):
         # lazy checkpoint: _checksum's aggregation is the materializing
-        # action (see _checksum) — halves the driver-side jobs per round
+        # action (see _checksum) — halves the driver-side jobs per round.
+        # Why NOT persist() like linkage._fit_sparse: under AQE the lazy
+        # checkpoint still runs both shuffle stages at call time and the
+        # first consumer re-reads the final stage while writing checkpoint
+        # blocks — but here that double pass is one map-side read of an
+        # already-shuffled edge set (dup edges, ~1e2-1e6 rows/round), pennies
+        # next to the two shuffles themselves. What the loop NEEDS is lineage
+        # truncation: persist() keeps the logical plan growing by two
+        # joins+aggregates per round, and at the O(log^2 n) round counts this
+        # algorithm is chosen FOR, re-analysis cost and lost-block recompute
+        # depth compound — linkage's persist rationale (one huge 2.3e8-row
+        # frame, exactly two consumers, no iteration) doesn't transfer.
         e = _small_star(_large_star(e, n_part), n_part).localCheckpoint(eager=False)
         cur = _checksum(e)
         if cur == prev:

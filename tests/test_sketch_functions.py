@@ -179,6 +179,12 @@ def test_ngram_lang_id_engines_agree(spark):
     texts = list(HELD_OUT_SENTENCES.values()) + [
         "the cat sat on the mat and looked at the dog",
         "das wetter ist heute wirklich sehr schön geworden",
+        # round-4 ADVICE: Java String.toLowerCase applies the contextual
+        # final-sigma mapping (ΟΔΟΣ -> οδος with 'ς') where Python str.lower
+        # gives 'σ' unconditionally; the kernel now replicates Python
+        # (per-code-point simple mapping + the U+0130 -> i̇ special case)
+        "ΟΔΟΣ ΠΡΟΣ ΤΗΝ ΘΑΛΑΣΣΑ the road to the sea ΕΙΝΑΙ ΩΡΑΙΑ",
+        "İstanbul İZMİR the city of İzmir is large",
         "",
         "   ",
     ]
