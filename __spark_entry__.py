@@ -671,6 +671,61 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The brief's end-to-end curation journey as ONE query: Gopher quality
+    gate -> marker language routing -> near-dup dedup WITHIN each language
+    route (LSH + exact-Jaccard verify) -> connected components -> per-doc
+    keep decision (cluster representative = min doc_id). Every stage is the
+    same oracled operator the driver checks piecewise (quality_gopher,
+    lang_id, minhash_lsh_dedup, cc_clusters); the composition is oracled
+    end-to-end too."""
+    from fast_er_spark.functions.jvm_sketch import jvm_available
+    from fast_er_spark.functions.text import gopher_stats
+    from fast_er_spark.operators.components import connected_components
+    from fast_er_spark.operators.lsh import lsh_candidate_pairs
+    from fast_er_spark.operators.verify import verify_pairs_jaccard
+
+    lang = q_lang_id(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    # min_stopword_hits=0: the rule thresholds are deployment knobs, and the
+    # synthetic corpus is token-salad with no English function words — the
+    # stopword rule would gate out EVERY document (the other six rules keep
+    # their published defaults and really bind here: ~45% of docs fail the
+    # 50-word floor at sf0.01)
+    g = gopher_stats(F.col("text"), min_stopword_hits=0)
+    kept = (
+        docs.where(g["passes"] == 1)
+        .join(lang, "doc_id")
+        .select("doc_id", "text", "pred_lang")
+        # three consumers (LSH, verify, lang join-backs + CC nodes): without
+        # materialization the gopher/lang gates recompute per consumer
+        .localCheckpoint(eager=False)
+    )
+    cand = lsh_candidate_pairs(
+        kept, "doc_id", "text", num_perm=128, bands=32, rows_per_band=4,
+        n=NGRAM, seed=42, scheme="oph_jvm" if jvm_available(spark) else "kperm",
+    )
+    pairs = verify_pairs_jaccard(cand, kept, "doc_id", "text", n=NGRAM, threshold=0.8)
+    la = kept.select(F.col("doc_id").alias("id_a"), F.col("pred_lang").alias("la"))
+    lb = kept.select(F.col("doc_id").alias("id_b"), F.col("pred_lang").alias("lb"))
+    edges = (
+        pairs.join(la, "id_a").join(lb, "id_b")
+        .where(F.col("la") == F.col("lb"))  # dedup never crosses a route
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges, nodes=kept.selectExpr("doc_id as id"))
+    return (
+        comp.join(kept.selectExpr("doc_id as id", "pred_lang"), "id")
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            "pred_lang",
+            F.col("component").cast("long").alias("component"),
+            F.when(F.col("id") == F.col("component"), F.lit(1))
+            .otherwise(F.lit(0)).cast("long").alias("keep"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -705,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "media_features": q_media_features,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -938,6 +994,88 @@ WITH t AS (
 ),
 s AS (SELECT doc_id, {', '.join(marker_cases)} FROM t)
 SELECT CAST(doc_id AS BIGINT) AS doc_id, {case} AS pred_lang FROM s
+"""
+    # end-to-end curation twin: gopher gate (same unrounded-ratio rule as
+    # the quality_gopher twin) -> marker lang route -> same-route jaccard
+    # dedup over the KEPT subset -> recursive-CTE components -> keep flag
+    sqls["curation_pipeline"] = f"""
+WITH RECURSIVE
+gt AS (
+  SELECT doc_id, (text IS NULL) AS tn,
+    len(regexp_extract_all(text, '\\S+')) AS n_words,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS word_chars,
+    len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym,
+    len(regexp_extract_all(text, '\\n')) + 1 AS n_lines,
+    len(regexp_extract_all(text, '(?m)^[ \\t]*[-*•‣▪]')) AS n_bullet,
+    len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)[ \\t]*$')) AS n_ell,
+    len(regexp_extract_all(text, '[^\\s]*[A-Za-z][^\\s]*')) AS n_alpha
+  FROM documents
+),
+gop AS (
+  -- stopword rule disabled to mirror min_stopword_hits=0 (see the Spark
+  -- query's rationale); remaining rules = published Gopher defaults
+  SELECT doc_id FROM gt
+  WHERE NOT tn AND n_words BETWEEN 50 AND 100000
+    AND (CASE WHEN n_words > 0 THEN word_chars * 1.0 / n_words ELSE 0.0 END)
+        BETWEEN 3.0 AND 10.0
+    AND (CASE WHEN n_words > 0 THEN n_sym * 1.0 / n_words ELSE 0.0 END) <= 0.1
+    AND n_bullet * 1.0 / n_lines <= 0.9
+    AND n_ell * 1.0 / n_lines <= 0.3
+    AND (CASE WHEN n_words > 0 THEN n_alpha * 1.0 / n_words ELSE 0.0 END) >= 0.8
+),
+lt AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(lower(text))) = 0 THEN []
+         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+  FROM documents
+),
+ls AS (SELECT doc_id, {', '.join(marker_cases)} FROM lt),
+langp AS (SELECT doc_id, {case} AS pred_lang FROM ls),
+kept AS (
+  SELECT d.doc_id, d.text, langp.pred_lang
+  FROM documents d
+  JOIN gop ON gop.doc_id = d.doc_id
+  JOIN langp ON langp.doc_id = d.doc_id
+),
+tok AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ts FROM kept
+  WHERE length(trim(text)) > 0
+),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+    ELSE list_distinct([array_to_string(ts[i:i+2], ' ')
+                        for i in range(1, len(ts) - 1)]) END) AS g
+  FROM tok
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id > b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b
+  JOIN kept ka ON ka.doc_id = i.id_a JOIN kept kb ON kb.doc_id = i.id_b
+  WHERE i.inter_size * 1000000 >= 800000 * (sa.n + sb.n - i.inter_size)
+    AND ka.pred_lang = kb.pred_lang
+),
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM jp
+  UNION ALL SELECT id_b, id_a FROM jp
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM kept
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT CAST(c.id AS BIGINT) AS doc_id,
+       k.pred_lang AS pred_lang,
+       CAST(c.component AS BIGINT) AS component,
+       CAST(CASE WHEN c.id = c.component THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM comp c JOIN kept k ON k.doc_id = c.id
 """
     sqls["embedding_topk"] = """
 WITH pairs AS (

@@ -148,9 +148,12 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 # ------------------------- Cavnar-Trenkle n-gram language identification
 # "N-Gram-Based Text Categorization" (Cavnar & Trenkle 1994, public
 # method): rank profiles of character 1..3-grams, out-of-place distance.
-# Seed corpora below are original everyday-register sentences written for
-# this repo (a few per language is the method's documented sweet spot for
-# coarse web-scale routing; swap in larger corpora for production).
+# Seed corpora below are original sentences written for this repo across
+# several everyday registers (narrative, weather/news, instructions,
+# technology, travel) — deliberately varied so the rank profiles capture
+# function-word and morphology n-grams rather than one story's vocabulary.
+# For production-grade routing swap in profiles built from thousands of
+# documents per language; the METHOD and kernels are unchanged by that.
 
 NGRAM_SEED_TEXTS = {
     "en": (
@@ -159,7 +162,17 @@ NGRAM_SEED_TEXTS = {
         "times for everyone in the little town. she said that they would "
         "have to wait until the morning train arrived with the letters. "
         "people often think about what they want from life and how they "
-        "can get there with the help of their friends."
+        "can get there with the help of their friends. "
+        "the weather this week will be cold and windy in the north with "
+        "some rain along the coast during the evening hours. heat the oil "
+        "in a large pan and add the onions then cook them slowly until "
+        "they are soft and golden. the new software update makes the "
+        "application faster and fixes several problems that users had "
+        "reported over the last months. when you travel to another "
+        "country you should always keep your passport and tickets in a "
+        "safe place where you can find them quickly. reading books every "
+        "day is one of the best ways to learn new words and understand "
+        "how other people see the world around them."
     ),
     "de": (
         "der schnelle braune fuchs springt über den faulen hund während "
@@ -167,7 +180,17 @@ NGRAM_SEED_TEXTS = {
         "schlechteste zeit für alle menschen in der kleinen stadt. sie "
         "sagte dass sie bis zum morgen warten müssen bis der zug mit den "
         "briefen ankommt. die leute denken oft darüber nach was sie vom "
-        "leben wollen und wie sie es mit hilfe ihrer freunde erreichen."
+        "leben wollen und wie sie es mit hilfe ihrer freunde erreichen. "
+        "das wetter wird in dieser woche im norden kalt und windig mit "
+        "etwas regen an der küste in den abendstunden. erhitzen sie das "
+        "öl in einer großen pfanne und geben sie die zwiebeln dazu dann "
+        "lassen sie sie langsam weich und goldbraun werden. das neue "
+        "update macht die anwendung schneller und behebt mehrere fehler "
+        "die die nutzer in den letzten monaten gemeldet hatten. wenn man "
+        "in ein anderes land reist sollte man den reisepass und die "
+        "fahrkarten immer an einem sicheren ort aufbewahren. jeden tag "
+        "ein buch zu lesen ist eine der besten möglichkeiten neue wörter "
+        "zu lernen und die welt besser zu verstehen."
     ),
     "fr": (
         "le rapide renard brun saute par dessus le chien paresseux pendant "
@@ -176,7 +199,17 @@ NGRAM_SEED_TEXTS = {
         "ville. elle a dit qu'ils devraient attendre jusqu'au matin que le "
         "train arrive avec les lettres. les gens pensent souvent à ce "
         "qu'ils veulent de la vie et comment y parvenir avec l'aide de "
-        "leurs amis."
+        "leurs amis. "
+        "le temps sera froid et venteux cette semaine dans le nord avec "
+        "quelques pluies sur la côte pendant la soirée. faites chauffer "
+        "l'huile dans une grande poêle puis ajoutez les oignons et "
+        "laissez les cuire doucement jusqu'à ce qu'ils soient tendres et "
+        "dorés. la nouvelle mise à jour rend l'application plus rapide et "
+        "corrige plusieurs problèmes que les utilisateurs avaient "
+        "signalés ces derniers mois. quand on voyage dans un autre pays "
+        "il faut toujours garder son passeport et ses billets dans un "
+        "endroit sûr. lire des livres chaque jour est l'un des meilleurs "
+        "moyens d'apprendre de nouveaux mots et de comprendre le monde."
     ),
     "es": (
         "el rápido zorro marrón salta sobre el perro perezoso mientras los "
@@ -184,7 +217,17 @@ NGRAM_SEED_TEXTS = {
         "tiempos para toda la gente del pequeño pueblo. ella dijo que "
         "tendrían que esperar hasta la mañana a que llegara el tren con "
         "las cartas. la gente piensa a menudo en lo que quiere de la vida "
-        "y en cómo conseguirlo con la ayuda de sus amigos."
+        "y en cómo conseguirlo con la ayuda de sus amigos. "
+        "el tiempo esta semana será frío y ventoso en el norte con "
+        "algunas lluvias en la costa durante la tarde. calienta el aceite "
+        "en una sartén grande y añade las cebollas luego déjalas cocinar "
+        "despacio hasta que estén blandas y doradas. la nueva "
+        "actualización hace que la aplicación sea más rápida y corrige "
+        "varios problemas que los usuarios habían señalado en los últimos "
+        "meses. cuando viajas a otro país siempre debes guardar el "
+        "pasaporte y los billetes en un lugar seguro donde puedas "
+        "encontrarlos. leer libros todos los días es una de las mejores "
+        "maneras de aprender palabras nuevas y entender el mundo."
     ),
     "it": (
         "la veloce volpe marrone salta sopra il cane pigro mentre i "
@@ -192,7 +235,17 @@ NGRAM_SEED_TEXTS = {
         "tempi per tutta la gente della piccola città. lei ha detto che "
         "avrebbero dovuto aspettare fino al mattino che il treno arrivasse "
         "con le lettere. la gente pensa spesso a cosa vuole dalla vita e a "
-        "come ottenerlo con l'aiuto dei propri amici."
+        "come ottenerlo con l'aiuto dei propri amici. "
+        "il tempo questa settimana sarà freddo e ventoso al nord con "
+        "qualche pioggia sulla costa durante la sera. scalda l'olio in "
+        "una padella grande e aggiungi le cipolle poi lasciale cuocere "
+        "lentamente finché non diventano morbide e dorate. il nuovo "
+        "aggiornamento rende l'applicazione più veloce e risolve diversi "
+        "problemi che gli utenti avevano segnalato negli ultimi mesi. "
+        "quando si viaggia in un altro paese bisogna sempre tenere il "
+        "passaporto e i biglietti in un posto sicuro. leggere libri ogni "
+        "giorno è uno dei modi migliori per imparare parole nuove e "
+        "capire il mondo intorno a noi."
     ),
     "pt": (
         "a rápida raposa marrom salta sobre o cão preguiçoso enquanto as "
@@ -200,7 +253,17 @@ NGRAM_SEED_TEXTS = {
         "para todas as pessoas da pequena cidade. ela disse que teriam de "
         "esperar até a manhã até que o trem chegasse com as cartas. as "
         "pessoas pensam muitas vezes sobre o que querem da vida e como "
-        "conseguir isso com a ajuda dos seus amigos."
+        "conseguir isso com a ajuda dos seus amigos. "
+        "o tempo nesta semana será frio e ventoso no norte com algumas "
+        "chuvas no litoral durante a noite. aqueça o óleo numa frigideira "
+        "grande e junte as cebolas depois deixe cozinhar devagar até "
+        "ficarem macias e douradas. a nova atualização torna o aplicativo "
+        "mais rápido e corrige vários problemas que os usuários tinham "
+        "relatado nos últimos meses. quando você viaja para outro país "
+        "deve sempre guardar o passaporte e as passagens num lugar "
+        "seguro onde possa encontrá los. ler livros todos os dias é uma "
+        "das melhores maneiras de aprender palavras novas e entender o "
+        "mundo ao redor."
     ),
     "nl": (
         "de snelle bruine vos springt over de luie hond terwijl de "
@@ -208,20 +271,108 @@ NGRAM_SEED_TEXTS = {
         "slechtste tijd voor alle mensen in het kleine stadje. ze zei dat "
         "ze tot de ochtend moesten wachten tot de trein met de brieven "
         "aankwam. mensen denken vaak na over wat ze van het leven willen "
-        "en hoe ze dat met de hulp van hun vrienden kunnen bereiken."
+        "en hoe ze dat met de hulp van hun vrienden kunnen bereiken. "
+        "het weer wordt deze week koud en winderig in het noorden met "
+        "wat regen aan de kust in de avonduren. verhit de olie in een "
+        "grote pan en voeg de uien toe laat ze daarna langzaam zacht en "
+        "goudbruin worden. de nieuwe update maakt de applicatie sneller "
+        "en verhelpt verschillende problemen die gebruikers de afgelopen "
+        "maanden hadden gemeld. wie naar een ander land reist moet zijn "
+        "paspoort en kaartjes altijd op een veilige plek bewaren. elke "
+        "dag boeken lezen is een van de beste manieren om nieuwe woorden "
+        "te leren en de wereld om je heen te begrijpen."
     ),
     "ru": (
         "быстрая коричневая лиса прыгает через ленивую собаку пока дети "
         "смотрят из сада. это было лучшее и худшее время для всех людей в "
         "маленьком городе. она сказала что им придется ждать до утра пока "
         "не придет поезд с письмами. люди часто думают о том чего они "
-        "хотят от жизни и как этого достичь с помощью своих друзей."
+        "хотят от жизни и как этого достичь с помощью своих друзей. "
+        "погода на этой неделе будет холодной и ветреной на севере с "
+        "небольшими дождями на побережье по вечерам. разогрейте масло в "
+        "большой сковороде и добавьте лук затем готовьте его медленно "
+        "пока он не станет мягким и золотистым. новое обновление делает "
+        "приложение быстрее и исправляет несколько ошибок о которых "
+        "пользователи сообщали в последние месяцы. когда вы едете в "
+        "другую страну всегда держите паспорт и билеты в надежном месте. "
+        "читать книги каждый день это один из лучших способов выучить "
+        "новые слова и понять мир вокруг нас."
     ),
     "zh": (
         "敏捷的棕色狐狸跳过了懒惰的狗孩子们在花园里看着。那是最好的时代也是"
         "最坏的时代对小镇上的所有人来说都是如此。她说他们必须等到早上火车"
         "带着信件到达。人们常常思考自己想从生活中得到什么以及如何在朋友的"
         "帮助下实现它。"
+        "本周北方的天气将会寒冷多风沿海地区晚间有小雨。在大锅里把油烧热然后"
+        "加入洋葱慢慢炒到变软变成金黄色。新的软件更新让应用程序运行得更快"
+        "并且修复了用户在过去几个月里报告的几个问题。去另一个国家旅行的时候"
+        "一定要把护照和车票放在安全的地方以便随时找到。每天读书是学习新词语"
+        "和理解周围世界的最好方法之一。"
+    ),
+    "pl": (
+        "szybki brązowy lis przeskakuje nad leniwym psem podczas gdy "
+        "dzieci patrzą z ogrodu. to był najlepszy i najgorszy czas dla "
+        "wszystkich ludzi w małym miasteczku. powiedziała że będą musieli "
+        "czekać do rana aż przyjedzie pociąg z listami. ludzie często "
+        "myślą o tym czego chcą od życia i jak to osiągnąć z pomocą "
+        "swoich przyjaciół. "
+        "pogoda w tym tygodniu będzie zimna i wietrzna na północy z "
+        "niewielkimi opadami deszczu na wybrzeżu wieczorem. rozgrzej olej "
+        "na dużej patelni i dodaj cebulę potem smaż ją powoli aż będzie "
+        "miękka i złota. nowa aktualizacja sprawia że aplikacja działa "
+        "szybciej i naprawia kilka błędów które użytkownicy zgłaszali w "
+        "ostatnich miesiącach. kiedy podróżujesz do innego kraju zawsze "
+        "trzymaj paszport i bilety w bezpiecznym miejscu. czytanie "
+        "książek każdego dnia to jeden z najlepszych sposobów na naukę "
+        "nowych słów i zrozumienie świata wokół nas."
+    ),
+    "sv": (
+        "den snabba bruna räven hoppar över den lata hunden medan barnen "
+        "tittar på från trädgården. det var den bästa och den sämsta "
+        "tiden för alla människor i den lilla staden. hon sade att de "
+        "skulle behöva vänta till morgonen tills tåget kom med breven. "
+        "människor tänker ofta på vad de vill ha av livet och hur de kan "
+        "nå dit med hjälp av sina vänner. "
+        "vädret den här veckan blir kallt och blåsigt i norr med lite "
+        "regn längs kusten under kvällen. värm oljan i en stor panna och "
+        "lägg i löken låt den sedan steka långsamt tills den är mjuk och "
+        "gyllene. den nya uppdateringen gör programmet snabbare och "
+        "rättar flera fel som användarna hade rapporterat under de "
+        "senaste månaderna. när man reser till ett annat land bör man "
+        "alltid förvara passet och biljetterna på en säker plats. att "
+        "läsa böcker varje dag är ett av de bästa sätten att lära sig "
+        "nya ord och förstå världen omkring oss."
+    ),
+    "tr": (
+        "hızlı kahverengi tilki tembel köpeğin üzerinden atlarken "
+        "çocuklar bahçeden izliyordu. küçük kasabadaki herkes için en iyi "
+        "ve en kötü zamanlardı. mektupları getiren tren gelene kadar "
+        "sabaha kadar beklemeleri gerektiğini söyledi. insanlar hayattan "
+        "ne istediklerini ve arkadaşlarının yardımıyla oraya nasıl "
+        "ulaşacaklarını sık sık düşünürler. "
+        "bu hafta kuzeyde hava soğuk ve rüzgarlı olacak akşam "
+        "saatlerinde kıyıda hafif yağmur bekleniyor. büyük bir tavada "
+        "yağı ısıtın ve soğanları ekleyin sonra yumuşayıp altın rengini "
+        "alana kadar yavaşça pişirin. yeni güncelleme uygulamayı daha "
+        "hızlı hale getiriyor ve kullanıcıların son aylarda bildirdiği "
+        "birkaç sorunu düzeltiyor. başka bir ülkeye seyahat ederken "
+        "pasaportunuzu ve biletlerinizi her zaman güvenli bir yerde "
+        "saklamalısınız. her gün kitap okumak yeni kelimeler öğrenmenin "
+        "ve çevremizdeki dünyayı anlamanın en iyi yollarından biridir."
+    ),
+    "ja": (
+        "すばやい茶色のきつねはなまけものの犬を飛びこえて子どもたちは庭から"
+        "見ていました。それは小さな町のすべての人にとって最良の時代であり"
+        "最悪の時代でもありました。彼女は手紙を積んだ列車が着くまで朝まで"
+        "待たなければならないと言いました。人はよく人生に何を求めるのか"
+        "友だちの助けを借りてどうやってそこへたどり着くのかを考えます。"
+        "今週の北部の天気は寒く風が強くなり夕方には海岸沿いで小雨が降る"
+        "でしょう。大きなフライパンで油を熱して玉ねぎを加えやわらかく"
+        "金色になるまでゆっくり炒めます。新しい更新によってアプリはより"
+        "速くなり利用者がここ数か月で報告したいくつかの問題が直りました。"
+        "ほかの国へ旅行するときはパスポートと切符をいつも安全な場所に"
+        "しまっておくべきです。毎日本を読むことは新しい言葉を覚えて周りの"
+        "世界を理解するいちばんよい方法のひとつです。"
     ),
 }
 

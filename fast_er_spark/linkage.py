@@ -22,6 +22,11 @@ replaced by one (id_a, id_b, pattern_id) DataFrame.
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+import uuid
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -137,6 +142,56 @@ def _batched_distinct_counts(df: DataFrame, cols: list[str]) -> list[int]:
     return [int(row[f"c{i}"]) for i in range(len(cols))]
 
 
+# implied |A| x |B| pair space above which the materialized pattern frame is
+# spilled to parquet instead of the in-memory columnar cache (see
+# _materialize_pairs)
+_SPILL_PAIR_SPACE = 100_000_000
+_spill_dirs: list[str] = []
+
+
+def _cleanup_spill_dirs() -> None:
+    for d in _spill_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_spill_dirs)
+
+
+def _materialize_pairs(df: DataFrame, big: bool) -> DataFrame:
+    """Materialize a pattern/pair frame once for its two consumers
+    (counts()'s histogram and transform()'s admitted-pair filter).
+
+    Small frames take the in-memory columnar cache. Big frames are written
+    to parquet and re-read: the columnar cache BUILD is row-at-a-time
+    (measured ~1,200 core-seconds for the 125M-row sparse frame of the
+    100k x 100k reference workload — the single most expensive operator in
+    the whole job), while the vectorized parquet writer materializes the
+    same frame in a few seconds and reads back vectorized+compressed.
+
+    Spill location: ``spark.fast_er.spillDir`` if set (POINT THIS AT SHARED
+    STORAGE — HDFS/S3 — on a real cluster: executors write the files
+    directly); default is a driver-local temp dir, which is correct in
+    local mode, and is removed at interpreter exit."""
+    import os
+
+    if os.environ.get("FAST_ER_NO_SPILL"):  # A/B escape hatch (bench only)
+        big = False
+    if not big:
+        return df.persist()
+    spark = df.sparkSession
+    try:
+        base = spark.conf.get("spark.fast_er.spillDir")
+    except Exception:
+        base = None
+    if base:
+        path = base.rstrip("/") + "/pairs_" + uuid.uuid4().hex
+    else:
+        path = tempfile.mkdtemp(prefix="fast_er_pairs_")
+        _spill_dirs.append(path)
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def _sparse_fuzzy_union(fuzzy_frames, st, k_fuzzy: int, pack: bool) -> DataFrame:
     """union + groupBy of per-variable level frames -> (id_a, id_b, __fz).
 
@@ -220,7 +275,16 @@ class Comparison:
         self.patterns: DataFrame | None = None
         self._counts: np.ndarray | None = None
         self._sparse: DataFrame | None = None
+        self._sparse_materialized = False
         self._ab: tuple[DataFrame, DataFrame] | None = None
+
+    def _big(self) -> bool:
+        """Pair space >= _SPILL_PAIR_SPACE -> parquet spill instead of the
+        in-memory cache. Positional row counts are free; the natural-key
+        path pays two count jobs (trivial next to the fit itself)."""
+        na = self._n_a if self._n_a is not None else self.df_a.count()
+        nb = self._n_b if self._n_b is not None else self.df_b.count()
+        return na * nb >= _SPILL_PAIR_SPACE
 
     def fit(
         self,
@@ -280,14 +344,13 @@ class Comparison:
                 exact_levels_linkage(a, b, ca, cb, "id_a", "id_b", block=blk)
             )
         # materialize on first action: counts() and Linkage.transform both
-        # consume patterns, and without a checkpoint the whole JW/join DAG
-        # re-executes per consumer (measured ~2x wall on the reference
-        # 100k x 100k workload)
-        # persist, not localCheckpoint — see _fit_sparse for why a lazy
-        # localCheckpoint is not actually lazy under AQE
-        self.patterns = assemble_patterns(
-            frames, self.k_fuzzy, self.k_exact
-        ).persist()
+        # consume patterns, and without a shared materialization the whole
+        # JW/join DAG re-executes per consumer (measured ~2x wall on the
+        # reference 100k x 100k workload). Big frames spill to parquet
+        # (eagerly — the write IS the one execution); small ones persist().
+        self.patterns = _materialize_pairs(
+            assemble_patterns(frames, self.k_fuzzy, self.k_exact), self._big()
+        )
         return self
 
     # ------------------------------------------------- sparse-exact engine
@@ -313,19 +376,25 @@ class Comparison:
         sparse = sparse.select(
             "id_a", "id_b", (F.col("__fz") + exact_expr).alias("pattern_id")
         )
-        # persist, NOT localCheckpoint: under AQE even a LAZY localCheckpoint
-        # materializes every shuffle stage at call time (Dataset.checkpoint
-        # builds the RDD and AdaptiveSparkPlanExec runs all query stages
-        # eagerly — measured 42 s blocking inside fit() at 100k x 100k) and
-        # then pays a SECOND pass writing checkpoint blocks on the first
-        # consumer. persist() is truly lazy: the first action (counts'
-        # histogram) computes the frame ONCE, caching as a side effect;
-        # transform reads the cache.
-        self._sparse = sparse.persist()
+        # stays LAZY here; the first consumer (_ensure_sparse) materializes
+        # it ONCE — parquet spill for big pair spaces, persist() for small
+        # (NOT localCheckpoint: under AQE even a lazy localCheckpoint
+        # materializes every shuffle stage at call time and pays a second
+        # pass writing checkpoint blocks — measured 42 s at 100k x 100k).
+        self._sparse = sparse
         # full reference surface: sparse pairs + lazily-derived exact-only
         # pairs. Heavy only if somebody materializes ALL patterns — counts()
         # and transform() never do.
         self.patterns = self._sparse.unionByName(self._exact_only_patterns())
+
+    def _ensure_sparse(self) -> DataFrame:
+        """Materialize the sparse pattern frame on first consumption and
+        rebuild self.patterns on top of the materialized frame."""
+        if not self._sparse_materialized:
+            self._sparse = _materialize_pairs(self._sparse, self._big())
+            self._sparse_materialized = True
+            self.patterns = self._sparse.unionByName(self._exact_only_patterns())
+        return self._sparse
 
     def _exact_only_patterns(self) -> DataFrame:
         """(id_a, id_b, pattern_id) for pairs agreeing on >=1 exact variable
@@ -427,6 +496,7 @@ class Comparison:
         pids = [int(x) for x in pids if int(x) != 0]
         if self._sparse is None:
             return self.patterns.where(F.col("pattern_id").isin(pids))
+        self._ensure_sparse()
         min_fuzzy = 2**self.k_exact
         fuzzy_pids = [x for x in pids if x >= min_fuzzy]
         exact_pids = [x for x in pids if x < min_fuzzy]
@@ -445,7 +515,7 @@ class Comparison:
         if self._counts is None and self._sparse is not None:
             observed = {
                 int(r["pattern_id"]): int(r["cnt"])
-                for r in pattern_counts(self._sparse).collect()
+                for r in pattern_counts(self._ensure_sparse()).collect()
             }
             # exact-only patterns: analytical count = (pairs whose exact
             # agreement vector is exactly e, any fuzzy) minus (sparse pairs
@@ -521,7 +591,12 @@ class Deduplication:
         self.patterns: DataFrame | None = None
         self._counts: np.ndarray | None = None
         self._sparse: DataFrame | None = None
+        self._sparse_materialized = False
         self._d: DataFrame | None = None
+
+    def _big(self) -> bool:
+        n = self._n if self._n is not None else self.df.count()
+        return n * (n - 1) // 2 >= _SPILL_PAIR_SPACE
 
     def fit(
         self,
@@ -559,11 +634,11 @@ class Deduplication:
         frames = list(fuzzy_frames)
         for c in self.vars_exact:
             frames.append(exact_levels_dedup(d, c, "id"))
-        # persist, not localCheckpoint — see _fit_sparse for why a lazy
-        # localCheckpoint is not actually lazy under AQE
-        self.patterns = assemble_patterns(
-            frames, self.k_fuzzy, self.k_exact
-        ).persist()
+        # shared materialization for counts+transform: parquet spill when
+        # big, persist() when small (see _materialize_pairs)
+        self.patterns = _materialize_pairs(
+            assemble_patterns(frames, self.k_fuzzy, self.k_exact), self._big()
+        )
         return self
 
     def _fit_sparse(self, d: DataFrame, fuzzy_frames) -> None:
@@ -582,16 +657,17 @@ class Deduplication:
         sparse = sparse.select(
             "id_a", "id_b", (F.col("__fz") + exact_expr).alias("pattern_id")
         )
-        # persist, NOT localCheckpoint: under AQE even a LAZY localCheckpoint
-        # materializes every shuffle stage at call time (Dataset.checkpoint
-        # builds the RDD and AdaptiveSparkPlanExec runs all query stages
-        # eagerly — measured 42 s blocking inside fit() at 100k x 100k) and
-        # then pays a SECOND pass writing checkpoint blocks on the first
-        # consumer. persist() is truly lazy: the first action (counts'
-        # histogram) computes the frame ONCE, caching as a side effect;
-        # transform reads the cache.
-        self._sparse = sparse.persist()
+        # lazy; first consumer materializes via _ensure_sparse (see
+        # Comparison._fit_sparse for the persist-vs-checkpoint rationale)
+        self._sparse = sparse
         self.patterns = self._sparse.unionByName(self._exact_only_patterns())
+
+    def _ensure_sparse(self) -> DataFrame:
+        if not self._sparse_materialized:
+            self._sparse = _materialize_pairs(self._sparse, self._big())
+            self._sparse_materialized = True
+            self.patterns = self._sparse.unionByName(self._exact_only_patterns())
+        return self._sparse
 
     def _exact_only_patterns(self) -> DataFrame:
         st = strides(self.k_fuzzy, self.k_exact)
@@ -653,7 +729,7 @@ class Deduplication:
         if self._counts is None and self._sparse is not None:
             observed = {
                 int(r["pattern_id"]): int(r["cnt"])
-                for r in pattern_counts(self._sparse).collect()
+                for r in pattern_counts(self._ensure_sparse()).collect()
             }
             sparse_by_e: dict[int, int] = {}
             for pid, c in observed.items():

@@ -227,6 +227,24 @@ def scored_value_pairs(
         cand = candidates(vals_a, vals_b)
         if triangular:
             cand = cand.where(F.col("val_a") < F.col("val_b"))
+    # length-band prefilter (codegen, evaluated BEFORE the kernel call in
+    # the combined predicate): jw = jaro + l*p*(1-jaro) with l <= 4, and
+    # jaro <= (2 + min_len/max_len)/3, so jw >= lower forces
+    # min_len/max_len >= 3*(lower - 4p)/(1 - 4p) - 2. Pairs failing the
+    # bound CANNOT reach level > 0 — the filter only skips the per-call
+    # UTF8String->String conversions the kernel's own early exits cannot
+    # avoid. The 1e-9 slack makes float rounding strictly conservative
+    # (never over-prunes); bound <= 0 (high p / low lower) disables it.
+    if 4 * p < 1:
+        ratio = 3 * (lower - 4 * p) / (1 - 4 * p) - 2 - 1e-9
+        if ratio > 0:
+            # octet_length, not length: the kernels score BYTES (reference
+            # byte semantics), and code-point ratios are not a sound proxy
+            # for byte ratios on multi-byte text
+            la, lb = F.octet_length("val_a"), F.octet_length("val_b")
+            cand = cand.where(
+                F.least(la, lb).cast("double") >= F.greatest(la, lb) * F.lit(ratio)
+            )
     if use_jvm:
         from ..functions.jvm_sketch import jw_level_jvm
 

@@ -136,9 +136,17 @@ def lsh_candidate_pairs(
     num_partitions: int | None = None,
     star_pivots: int = 3,
     scheme: str = "kperm",
+    mark_star: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a > id_b), deduplicated across
-    bands. Rows with empty text are excluded (nothing to match)."""
+    bands. Rows with empty text are excluded (nothing to match).
+
+    ``mark_star=True`` adds an ``is_star`` boolean column: true iff the pair
+    was emitted ONLY by hot-bucket star caps (never by a full clique). Star
+    pairs are the ones the RECALL CAVEAT above is about — downstream
+    verification rejecting them is the signal that a hot bucket mixed
+    clusters; the pipeline counts exactly that per run (see
+    DedupPipeline)."""
     if bands * rows_per_band > num_perm:
         raise ValueError("bands * rows_per_band must be <= num_perm")
 
@@ -163,11 +171,14 @@ def lsh_candidate_pairs(
         .where(F.size("ids") >= 2)
     )
 
-    return bucket_member_pairs(buckets, max_bucket_size, star_pivots)
+    return bucket_member_pairs(buckets, max_bucket_size, star_pivots, mark_star)
 
 
 def bucket_member_pairs(
-    buckets: DataFrame, max_bucket_size: int = 2000, star_pivots: int = 3
+    buckets: DataFrame,
+    max_bucket_size: int = 2000,
+    star_pivots: int = 3,
+    mark_star: bool = False,
 ) -> DataFrame:
     """(id_a, id_b) with id_a > id_b from a frame with an ascending-sorted
     ``ids`` array column (one row per bucket), deduplicated across buckets.
@@ -202,7 +213,16 @@ def bucket_member_pairs(
     pairs = buckets.select(
         F.explode(
             F.when(F.size(ids) <= max_bucket_size, clique_array).otherwise(star_array)
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
+        ).alias("p"),
+        *(
+            [(F.size(ids) > max_bucket_size).alias("is_star")]
+            if mark_star
+            else []
+        ),
+    ).select("p.id_a", "p.id_b", *(["is_star"] if mark_star else []))
 
+    if mark_star:
+        # min(bool): a pair seen via ANY clique bucket is not star-only —
+        # same single shuffle as dropDuplicates (which is a groupBy too)
+        return pairs.groupBy("id_a", "id_b").agg(F.min("is_star").alias("is_star"))
     return pairs.dropDuplicates(["id_a", "id_b"])

@@ -89,9 +89,12 @@ def verify_pairs_jaccard(
 ) -> DataFrame:
     """Keep candidate pairs with exact shingle-Jaccard >= threshold.
 
-    Returns (id_a, id_b, inter_size, union_size, jaccard). The threshold test
-    uses integer arithmetic (inter * 10^6 >= thr * 10^6 * union) so it is
-    float-representation independent.
+    Returns (id_a, id_b, <extra pair columns>, inter_size, union_size,
+    jaccard) — any columns beyond (id_a, id_b) on the candidate frame (e.g.
+    lsh_candidate_pairs' ``is_star`` marker) pass through unchanged, so
+    telemetry can compare candidates to survivors per category. The
+    threshold test uses integer arithmetic (inter * 10^6 >= thr * 10^6 *
+    union) so it is float-representation independent.
 
     ``hashed=True`` (default) intersects 64-bit shingle hashes instead of
     shingle strings — less shuffle and a vectorized build path; a
@@ -137,7 +140,14 @@ def verify_pairs_jaccard(
         .withColumn(
             "jaccard", F.round(F.col("inter_size") / F.col("union_size"), 6)
         )
-        .select("id_a", "id_b", "inter_size", "union_size", "jaccard")
+        .select(
+            "id_a",
+            "id_b",
+            *[c for c in pairs.columns if c not in ("id_a", "id_b")],
+            "inter_size",
+            "union_size",
+            "jaccard",
+        )
     )
 
 

@@ -189,6 +189,15 @@ class DedupPipeline:
         )
         self.catalog.append(part, "_lineage")
 
+    def _record_counter(self, name: str, value: int) -> None:
+        """Append a named counter to the metrics table (rows_out carries the
+        value; wall_ms 0 — counters are facts, not stages)."""
+        meta = self.spark.createDataFrame(
+            [(name, self.fp, int(value), 0)],
+            "stage string, config_fp string, rows_out long, wall_ms long",
+        )
+        self.catalog.append(meta, "_metrics")
+
     def metrics(self) -> DataFrame:
         return self.catalog.read("_metrics")
 
@@ -225,7 +234,7 @@ class DedupPipeline:
                 num_perm=c.num_perm, bands=c.bands, rows_per_band=c.rows_per_band,
                 n=c.ngram, mode=c.mode, seed=c.seed,
                 max_bucket_size=c.max_bucket_size, num_partitions=c.num_partitions,
-                scheme=c.sketch,
+                scheme=c.sketch, mark_star=True,
             ),
             resume,
         )
@@ -237,6 +246,17 @@ class DedupPipeline:
             ),
             resume,
         )
+
+        # star-cap recall telemetry (lsh.py RECALL CAVEAT): star-only
+        # candidates rejected by verification are the pairs a hot bucket
+        # proposed across clusters — if TRUE dup pairs are being lost to
+        # caps, this count is where it shows first. Guarded on the column
+        # so pre-telemetry stage tables still resume cleanly.
+        if "is_star" in cand.columns and "is_star" in verified.columns:
+            n_star = cand.where(F.col("is_star")).count()
+            n_star_kept = verified.where(F.col("is_star")).count()
+            self._record_counter("star_candidates", n_star)
+            self._record_counter("star_rejected_by_verify", n_star - n_star_kept)
 
         edge_frames = [verified.select("id_a", "id_b")]
         if c.substring_pass:

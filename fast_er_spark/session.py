@@ -44,7 +44,20 @@ def get_spark(
         # keeps small stage tables at >= cores tasks; at real corpus scale
         # files outnumber cores anyway and this setting is irrelevant.
         .config("spark.sql.files.maxPartitionBytes", "16MB")
-        .config("spark.ui.enabled", "false")
+        # partial-aggregate fast-map capacity: default 2^16 KEPT after a
+        # 12-trial A/B (PERF.md round 5) — 2^20 looked right on paper (the
+        # pattern-assembly partial agg sees ~500k mostly-unique keys/task,
+        # 88% falling through to the slow map) but LOST ~5-10 s on the 100k
+        # workload: 232 tasks x 1M-slot map init + page churn exceeds what
+        # the fast path saves when keys barely repeat. Env knob kept for
+        # future A/Bs.
+        .config(
+            "spark.sql.codegen.aggregate.fastHashMap.capacityBit",
+            os.environ.get("FAST_ER_AGG_CAPACITY_BIT", "16"),
+        )
+        # UI off by default (saves a jetty server per test session); profiling
+        # scripts export SPARK_UI_ENABLED=true to read the stage REST API
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI_ENABLED", "false"))
         .config("spark.sql.session.timeZone", "UTC")
     )
     return builder.getOrCreate()

@@ -55,9 +55,12 @@ def test_pipeline_end_to_end_and_resume(spark, corpus):
         assert len(got) == len(rows)
         assert not any(s.resumed for s in pipe.results)
 
-        # metrics + per-partition lineage recorded for every stage
+        # metrics + per-partition lineage recorded for every stage, plus
+        # the star-cap telemetry counters (counters are metrics-only rows)
         stages = {r["stage"] for r in pipe.metrics().collect()}
-        assert stages == set(pipe.STAGES)
+        assert stages == set(pipe.STAGES) | {
+            "star_candidates", "star_rejected_by_verify"
+        }
         lin = pipe.lineage().groupBy("stage").count().collect()
         assert {r["stage"] for r in lin} == set(pipe.STAGES)
 
@@ -130,6 +133,47 @@ def test_pregroup_same_clusters(spark, corpus):
     finally:
         shutil.rmtree(wd1, ignore_errors=True)
         shutil.rmtree(wd2, ignore_errors=True)
+
+
+def test_star_cap_skew_recall_and_telemetry(spark, tmp_path):
+    """Zipf-stress for the hot-bucket star cap (lsh.py RECALL CAVEAT): a
+    giant duplicate cluster (80 near-identical docs) with max_bucket_size=8
+    forces star emission on every giant bucket. Asserts (a) co-cluster
+    recall >= 0.99 with the caps binding, (b) the per-run telemetry counters
+    exist and show the caps actually bound, (c) no same-cluster star edge
+    was rejected (deterministic fixture, so exact)."""
+    import random
+
+    from fast_er_spark.pipeline import DedupConfig, DedupPipeline
+
+    rng = random.Random(5)
+    vocab = [f"tok{i}" for i in range(5000)]
+    base = [rng.choice(vocab) for _ in range(100)]
+    rows, giant, did = [], [], 0
+    for i in range(80):
+        t = list(base)
+        t[i % len(t)] = f"mut{i}"  # distinct 1-token mutation: pairwise
+        # word-3-shingle Jaccard ~0.885, above the 0.8 verify threshold
+        rows.append((did, " ".join(t)))
+        giant.append(did)
+        did += 1
+    for _ in range(200):  # unique background docs
+        rows.append((did, " ".join(rng.choice(vocab) for _ in range(60))))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cfg = DedupConfig(max_bucket_size=8, substring_pass=False, threshold=0.8)
+    pipe = DedupPipeline(spark, str(tmp_path / "wd_star"), cfg)
+    clusters = pipe.run(df)
+    got = {int(r.id): int(r.component) for r in clusters.collect()}
+
+    pairs = [(a, b) for i, a in enumerate(giant) for b in giant[:i]]
+    co = sum(1 for a, b in pairs if got[a] == got[b])
+    assert co / len(pairs) >= 0.99, co / len(pairs)
+
+    m = {r["stage"]: int(r["rows_out"]) for r in pipe.metrics().collect()}
+    assert m["star_candidates"] > 0  # the caps were binding, not idle
+    assert m["star_rejected_by_verify"] == 0  # same-cluster stars all verify
 
 
 def test_pipeline_resumes_mid_run(spark, corpus):

@@ -149,18 +149,48 @@ HELD_OUT_SENTENCES = {
     "nl": "mijn buurman bracht vanmorgen vers brood en we hebben een tijdje over het weer gepraat.",
     "ru": "мой сосед сегодня утром принес свежий хлеб и мы немного поговорили о погоде.",
     "zh": "我的邻居今天早上带来了新鲜的面包我们聊了一会儿天气。",
+    "pl": "mój sąsiad przyniósł dziś rano świeży chleb i przez chwilę rozmawialiśmy o pogodzie.",
+    "sv": "min granne kom med färskt bröd i morse och vi pratade om vädret en stund.",
+    "tr": "komşum bu sabah taze ekmek getirdi ve bir süre hava durumu hakkında konuştuk.",
+    "ja": "となりの人がけさ焼きたてのパンを持ってきてくれてしばらく天気の話をしました。",
+}
+
+# a SECOND held-out register per language (short informal note) — the
+# accuracy bar is 100% over BOTH registers x all 13 languages
+HELD_OUT_SENTENCES_2 = {
+    "en": "could you please send me the report before the meeting starts tomorrow afternoon, thanks a lot.",
+    "de": "könntest du mir bitte den bericht schicken bevor die besprechung morgen nachmittag beginnt, vielen dank.",
+    "fr": "pourrais tu m'envoyer le rapport avant que la réunion ne commence demain après midi, merci beaucoup.",
+    "es": "podrías enviarme el informe antes de que empiece la reunión mañana por la tarde, muchas gracias.",
+    "it": "potresti mandarmi il rapporto prima che inizi la riunione domani pomeriggio, grazie mille.",
+    "pt": "você poderia me enviar o relatório antes da reunião começar amanhã à tarde, muito obrigado.",
+    "nl": "zou je mij het verslag kunnen sturen voordat de vergadering morgenmiddag begint, alvast bedankt.",
+    "ru": "не мог бы ты прислать мне отчет до того как завтра днем начнется собрание, большое спасибо.",
+    "zh": "请在明天下午会议开始之前把报告发给我非常感谢你的帮助。",
+    "pl": "czy mógłbyś przesłać mi raport zanim jutro po południu zacznie się spotkanie, bardzo dziękuję.",
+    "sv": "skulle du kunna skicka rapporten till mig innan mötet börjar i morgon eftermiddag, tack så mycket.",
+    "tr": "yarın öğleden sonra toplantı başlamadan önce raporu bana gönderebilir misin, çok teşekkürler.",
+    "ja": "あしたの午後の会議が始まる前に報告書を送ってもらえますか、どうもありがとうございます。",
 }
 
 
 def test_ngram_lang_id_accuracy_python():
     """Cavnar-Trenkle profiles must classify held-out sentences (NOT in the
-    seed corpora) correctly for every language."""
-    from fast_er_spark.functions.text import ngram_lang_profiles, predict_lang_ngram_py
+    seed corpora) correctly for every language, across two registers —
+    26 labeled fixtures, 100% required."""
+    from fast_er_spark.functions.text import (
+        NGRAM_SEED_TEXTS,
+        ngram_lang_profiles,
+        predict_lang_ngram_py,
+    )
 
     profiles = ngram_lang_profiles()
-    for lang, sent in HELD_OUT_SENTENCES.items():
-        got = predict_lang_ngram_py(sent, profiles)
-        assert got == lang, (lang, got)
+    assert set(NGRAM_SEED_TEXTS) == set(HELD_OUT_SENTENCES) == set(HELD_OUT_SENTENCES_2)
+    assert len(NGRAM_SEED_TEXTS) >= 13
+    for fixture in (HELD_OUT_SENTENCES, HELD_OUT_SENTENCES_2):
+        for lang, sent in fixture.items():
+            got = predict_lang_ngram_py(sent, profiles)
+            assert got == lang, (lang, got)
     assert predict_lang_ngram_py(None, profiles) is None
     assert predict_lang_ngram_py("   ", profiles) is None
 
@@ -176,7 +206,7 @@ def test_ngram_lang_id_engines_agree(spark):
     if not ensure_jvm_udfs(spark):
         import pytest
         pytest.skip("no JDK")
-    texts = list(HELD_OUT_SENTENCES.values()) + [
+    texts = list(HELD_OUT_SENTENCES.values()) + list(HELD_OUT_SENTENCES_2.values()) + [
         "the cat sat on the mat and looked at the dog",
         "das wetter ist heute wirklich sehr schön geworden",
         # round-4 ADVICE: Java String.toLowerCase applies the contextual
