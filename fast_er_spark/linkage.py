@@ -216,6 +216,20 @@ def _sparse_fuzzy_union(fuzzy_frames, st, k_fuzzy: int, pack: bool) -> DataFrame
     u = contribs[0]
     for c in contribs[1:]:
         u = u.unionByName(c)
+    import os
+
+    # explicit hash repartition on the agg key BEFORE the groupBy: the
+    # partial aggregate then runs AFTER the exchange on co-located data
+    # instead of inside the (CPU-bound, 232-task) JW stage, where it hashed
+    # every edge for a ~0.5% reduction — pairs agreeing on 2+ fuzzy
+    # variables are rare, so map-side combine buys nothing while costing a
+    # hash-map insert per edge row (A/B'd both ways at 100k x 100k,
+    # PERF.md round 5; the exchange volume is identical either way).
+    # FAST_ER_PREPARTITION=0 restores the planner default for datasets
+    # where cross-variable agreement IS common.
+    if os.environ.get("FAST_ER_PREPARTITION", "1") != "0":
+        sp = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+        u = u.repartition(sp, *(["__k"] if pack else ["id_a", "id_b"]))
     if pack:
         return (
             u.groupBy("__k")
