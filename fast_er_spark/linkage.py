@@ -192,7 +192,9 @@ def _materialize_pairs(df: DataFrame, big: bool) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _sparse_fuzzy_union(fuzzy_frames, st, k_fuzzy: int, pack: bool) -> DataFrame:
+def _sparse_fuzzy_union(
+    fuzzy_frames, st, k_fuzzy: int, pack: bool, prepartition: bool = False
+) -> DataFrame:
     """union + groupBy of per-variable level frames -> (id_a, id_b, __fz).
 
     The union is the engine's dominant shuffle (~2.3e8 level-edge rows at
@@ -225,9 +227,12 @@ def _sparse_fuzzy_union(fuzzy_frames, st, k_fuzzy: int, pack: bool) -> DataFrame
     # variables are rare, so map-side combine buys nothing while costing a
     # hash-map insert per edge row (A/B'd both ways at 100k x 100k,
     # PERF.md round 5; the exchange volume is identical either way).
-    # FAST_ER_PREPARTITION=0 restores the planner default for datasets
-    # where cross-variable agreement IS common.
-    if os.environ.get("FAST_ER_PREPARTITION", "1") != "0":
+    # ``prepartition`` is passed by callers for BIG pair spaces only: a
+    # numbered repartition pins the session partition count onto what may
+    # be a tiny edge set, and small fits pay pure scheduling overhead for
+    # it (fs_pattern_counts +80% at sf0.1 before the gate — the round-1
+    # small-input lesson again). FAST_ER_PREPARTITION=0 force-disables.
+    if prepartition and os.environ.get("FAST_ER_PREPARTITION", "1") != "0":
         sp = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
         u = u.repartition(sp, *(["__k"] if pack else ["id_a", "id_b"]))
     if pack:
@@ -293,12 +298,14 @@ class Comparison:
         self._ab: tuple[DataFrame, DataFrame] | None = None
 
     def _big(self) -> bool:
-        """Pair space >= _SPILL_PAIR_SPACE -> parquet spill instead of the
-        in-memory cache. Positional row counts are free; the natural-key
-        path pays two count jobs (trivial next to the fit itself)."""
-        na = self._n_a if self._n_a is not None else self.df_a.count()
-        nb = self._n_b if self._n_b is not None else self.df_b.count()
-        return na * nb >= _SPILL_PAIR_SPACE
+        """Pair space >= _SPILL_PAIR_SPACE -> parquet spill + pre-partitioned
+        assembly. Positional row counts are free; the natural-key path pays
+        two count jobs once (cached — trivial next to the fit itself)."""
+        if getattr(self, "_big_cached", None) is None:
+            na = self._n_a if self._n_a is not None else self.df_a.count()
+            nb = self._n_b if self._n_b is not None else self.df_b.count()
+            self._big_cached = na * nb >= _SPILL_PAIR_SPACE
+        return self._big_cached
 
     def fit(
         self,
@@ -374,7 +381,9 @@ class Comparison:
             self.id_a is None and self.id_b is None
             and _pack_ok(self._n_a, self._n_b)
         )
-        sparse = _sparse_fuzzy_union(fuzzy_frames, st, self.k_fuzzy, pack)
+        sparse = _sparse_fuzzy_union(
+            fuzzy_frames, st, self.k_fuzzy, pack, prepartition=self._big()
+        )
         # exact agreement is a per-pair LOOKUP on the (small-per-pair) sparse
         # frame — two equi-joins per exact variable against the id->value
         # projections, never a pair-materializing self-join
@@ -609,8 +618,10 @@ class Deduplication:
         self._d: DataFrame | None = None
 
     def _big(self) -> bool:
-        n = self._n if self._n is not None else self.df.count()
-        return n * (n - 1) // 2 >= _SPILL_PAIR_SPACE
+        if getattr(self, "_big_cached", None) is None:
+            n = self._n if self._n is not None else self.df.count()
+            self._big_cached = n * (n - 1) // 2 >= _SPILL_PAIR_SPACE
+        return self._big_cached
 
     def fit(
         self,
@@ -658,7 +669,9 @@ class Deduplication:
     def _fit_sparse(self, d: DataFrame, fuzzy_frames) -> None:
         st = strides(self.k_fuzzy, self.k_exact)
         pack = self.id_col is None and _pack_ok(self._n)
-        sparse = _sparse_fuzzy_union(fuzzy_frames, st, self.k_fuzzy, pack)
+        sparse = _sparse_fuzzy_union(
+            fuzzy_frames, st, self.k_fuzzy, pack, prepartition=self._big()
+        )
         exact_expr = F.lit(0).cast("long")
         for idx, c in enumerate(self.vars_exact):
             s = st[self.k_fuzzy + idx]
