@@ -31,6 +31,7 @@ __all__ = [
     "ensure_jvm_udfs",
     "oph_signature_jvm",
     "jw_level_jvm",
+    "jw_level_jvm_bin",
     "shingle_hashes_jvm",
     "substring_anchors_jvm",
     "lcs_len_jvm",
@@ -49,6 +50,7 @@ _SRCS = [
 ]
 _UDF_NAME = "fast_er_oph_signature"
 _JW_UDF_NAME = "fast_er_jw_level"
+_JW_BIN_UDF_NAME = "fast_er_jw_level_bin"
 _SHINGLE_UDF_NAME = "fast_er_shingle_hashes"
 _ANCHOR_UDF_NAME = "fast_er_substring_anchors"
 _LCS_UDF_NAME = "fast_er_lcs_len"
@@ -145,6 +147,7 @@ def ensure_jvm_udfs(spark: SparkSession) -> bool:
             _UDF_NAME, "FastErUdfs", T.ArrayType(T.LongType())
         )
         spark.udf.registerJavaFunction(_JW_UDF_NAME, "JwUdfs", T.IntegerType())
+        spark.udf.registerJavaFunction(_JW_BIN_UDF_NAME, "JwUdfs$Bin", T.IntegerType())
         spark.udf.registerJavaFunction(
             _SHINGLE_UDF_NAME, "FastErUdfs$ShingleHashes", T.ArrayType(T.LongType())
         )
@@ -279,5 +282,20 @@ def jw_level_jvm(val_a, val_b, p: float, lower: float, upper: float) -> Column:
     b = F.col(val_b) if isinstance(val_b, str) else val_b
     return F.call_udf(
         _JW_UDF_NAME, a, b,
+        F.lit(float(p)), F.lit(float(lower)), F.lit(float(upper)),
+    )
+
+
+def jw_level_jvm_bin(val_a, val_b, p: float, lower: float, upper: float) -> Column:
+    """Banded JW level over BINARY columns (jvm/JwUdfs.java::Bin) — same
+    byte-exact kernel as jw_level_jvm, but BinaryType crosses the Java-UDF
+    bridge as byte[] directly, skipping the per-call UTF-16 decode +
+    UTF-8 re-encode the String signature pays. Pass ``col.cast("binary")``
+    of a string column (Spark's string->binary cast IS the UTF-8 bytes).
+    The caller must have run ensure_jvm_udfs(spark) first."""
+    a = F.col(val_a) if isinstance(val_a, str) else val_a
+    b = F.col(val_b) if isinstance(val_b, str) else val_b
+    return F.call_udf(
+        _JW_BIN_UDF_NAME, a, b,
         F.lit(float(p)), F.lit(float(lower)), F.lit(float(upper)),
     )

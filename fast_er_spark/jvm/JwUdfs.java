@@ -24,6 +24,7 @@ public class JwUdfs implements UDF5<String, String, Double, Double, Double, Inte
     public static double jaroWinkler(byte[] s1, byte[] s2, double p) {
         int l1 = s1.length, l2 = s2.length;
         if (l1 == 0 || l2 == 0) return 0.0;
+        if (l1 <= 64 && l2 <= 64) return jwShort(s1, s2, p);
 
         int maxDist = Math.max(l1, l2) / 2 - 1;
         boolean[] h1 = new boolean[l1];
@@ -63,6 +64,74 @@ public class JwUdfs implements UDF5<String, String, Double, Double, Double, Inte
             else break;
         }
         return jaro + p * prefix * (1.0 - jaro);
+    }
+
+    /**
+     * Both sides <= 64 bytes (every name/street in the linkage hot path):
+     * the greedy matcher's bookkeeping lives in two long bitmasks instead
+     * of per-call boolean[] allocations. Identical matching semantics and
+     * IDENTICAL floating-point operation order to the array path above —
+     * only the match-flag storage differs, so scores are bit-equal.
+     */
+    private static double jwShort(byte[] s1, byte[] s2, double p) {
+        int l1 = s1.length, l2 = s2.length;
+        int maxDist = Math.max(l1, l2) / 2 - 1;
+        long h1 = 0L, h2 = 0L;
+        int match = 0;
+        for (int i = 0; i < l1; i++) {
+            byte c = s1[i];
+            int j0 = i - maxDist; if (j0 < 0) j0 = 0;
+            int j1 = i + maxDist + 1; if (j1 > l2) j1 = l2;
+            for (int j = j0; j < j1; j++) {
+                if (c == s2[j] && (h2 & (1L << j)) == 0L) {
+                    h1 |= 1L << i;
+                    h2 |= 1L << j;
+                    match++;
+                    break;
+                }
+            }
+        }
+        if (match == 0) return 0.0;
+
+        int t = 0, point = 0;
+        for (int i = 0; i < l1; i++) {
+            if ((h1 & (1L << i)) != 0L) {
+                while ((h2 & (1L << point)) == 0L) point++;
+                if (s1[i] != s2[point]) t++;
+                point++;
+            }
+        }
+        double halfT = t / 2.0;
+        double jaro = ((double) match / l1 + (double) match / l2
+                       + (match - halfT) / match) / 3.0;
+
+        int prefix = 0;
+        int pmax = Math.min(Math.min(l1, l2), 4);
+        for (int i = 0; i < pmax; i++) {
+            if (s1[i] == s2[i]) prefix++;
+            else break;
+        }
+        return jaro + p * prefix * (1.0 - jaro);
+    }
+
+    /**
+     * byte[]-native variant for the candidate-scoring hot path: Spark's
+     * Java-UDF bridge hands BinaryType through as byte[] with no
+     * conversion, where the String form pays UTF8String -> String (UTF-16
+     * decode) in the bridge plus getBytes (UTF-8 re-encode) per call —
+     * two transcodes and two allocations per scored pair. Callers cast
+     * the value columns to binary (Spark's string->binary cast IS the
+     * UTF-8 bytes, same as Python .encode()), so levels are unchanged.
+     */
+    public static class Bin implements UDF5<byte[], byte[], Double, Double, Double, Integer> {
+        @Override
+        public Integer call(byte[] a, byte[] b, Double p, Double lower, Double upper) {
+            if (a == null || b == null) return 0;
+            double s = jaroWinkler(a, b, p);
+            if (s >= upper) return 2;
+            if (s >= lower) return 1;
+            return 0;
+        }
     }
 
     public static int level(String a, String b, double p, double lower, double upper) {

@@ -246,8 +246,30 @@ def scored_value_pairs(
                 F.least(la, lb).cast("double") >= F.greatest(la, lb) * F.lit(ratio)
             )
     if use_jvm:
-        from ..functions.jvm_sketch import jw_level_jvm
+        import os
 
+        from ..functions.jvm_sketch import jw_level_jvm, jw_level_jvm_bin
+
+        if os.environ.get("FAST_ER_JW_BIN", "1") != "0":
+            # score BINARY columns: Spark's string->binary cast is the
+            # UTF-8 bytes (exactly what the kernel hashes), and BinaryType
+            # crosses the Java-UDF bridge as byte[] with no conversion —
+            # the String form pays a UTF-16 decode in the bridge plus a
+            # UTF-8 re-encode in the kernel, two transcodes + two
+            # allocations per scored pair (~1.3e9 pairs at 100k x 100k).
+            # FAST_ER_JW_BIN=0 keeps the String kernel for A/B.
+            return (
+                cand.withColumn(
+                    "level",
+                    jw_level_jvm_bin(
+                        F.col("val_a").cast("binary"),
+                        F.col("val_b").cast("binary"),
+                        p, lower, upper,
+                    ),
+                )
+                .where(F.col("level") > 0)
+                .select("val_a", "val_b", "level")
+            )
         return (
             cand.withColumn("level", jw_level_jvm("val_a", "val_b", p, lower, upper))
             .where(F.col("level") > 0)

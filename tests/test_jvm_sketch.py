@@ -122,7 +122,12 @@ def test_jw_level_jvm_parity_with_scalar_reference(spark, jvm):
     alphabet = "abcdefgh é中\x001"
     cases = [("", ""), ("a", "a"), ("ab", "ab"), ("martha", "marhta"),
              ("dwayne", "duane"), ("a\x00b", "ab"), ("ab\x00", "ab"),
-             ("école", "ecole"), ("中文", "中文x")]
+             ("école", "ecole"), ("中文", "中文x"),
+             # >64-byte sides exercise the boolean[] fallback (the <=64
+             # bitmask fast path and the binary-signature UDF must agree
+             # with it at the crossover)
+             ("ab" * 40, "ab" * 40), ("ab" * 40, "ba" * 40),
+             ("x" * 63 + "yz", "x" * 65), ("q" * 64, "q" * 64 + "r")]
     for _ in range(400):
         la, lb = rng.randint(0, 12), rng.randint(0, 12)
         cases.append(
@@ -132,17 +137,25 @@ def test_jw_level_jvm_parity_with_scalar_reference(spark, jvm):
     df = spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(cases)], "i long, a string, b string"
     )
+    from fast_er_spark.functions.jvm_sketch import jw_level_jvm_bin
+    from pyspark.sql import functions as F
+
     got = {
-        r["i"]: r["lvl"]
+        r["i"]: (r["lvl"], r["lvl_bin"])
         for r in df.select(
-            "i", jw_level_jvm("a", "b", 0.1, 0.88, 0.94).alias("lvl")
+            "i",
+            jw_level_jvm("a", "b", 0.1, 0.88, 0.94).alias("lvl"),
+            jw_level_jvm_bin(
+                F.col("a").cast("binary"), F.col("b").cast("binary"),
+                0.1, 0.88, 0.94,
+            ).alias("lvl_bin"),
         ).collect()
     }
     for i, (a, b) in enumerate(cases):
         want = discretize(
             jaro_winkler_bytes(a.encode("utf-8"), b.encode("utf-8"), 0.1), 0.88, 0.94
         )
-        assert got[i] == want, (a, b, got[i], want)
+        assert got[i] == (want, want), (a, b, got[i], want)
 
 
 def test_substring_anchors_jvm_alignment_invariant(spark, jvm):
