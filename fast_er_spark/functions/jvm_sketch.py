@@ -32,6 +32,7 @@ __all__ = [
     "oph_signature_jvm",
     "jw_level_jvm",
     "jw_level_jvm_bin",
+    "char_mask_jvm",
     "shingle_hashes_jvm",
     "substring_anchors_jvm",
     "lcs_len_jvm",
@@ -51,6 +52,7 @@ _SRCS = [
 _UDF_NAME = "fast_er_oph_signature"
 _JW_UDF_NAME = "fast_er_jw_level"
 _JW_BIN_UDF_NAME = "fast_er_jw_level_bin"
+_CHAR_MASK_UDF_NAME = "fast_er_char_mask"
 _SHINGLE_UDF_NAME = "fast_er_shingle_hashes"
 _ANCHOR_UDF_NAME = "fast_er_substring_anchors"
 _LCS_UDF_NAME = "fast_er_lcs_len"
@@ -148,6 +150,9 @@ def ensure_jvm_udfs(spark: SparkSession) -> bool:
         )
         spark.udf.registerJavaFunction(_JW_UDF_NAME, "JwUdfs", T.IntegerType())
         spark.udf.registerJavaFunction(_JW_BIN_UDF_NAME, "JwUdfs$Bin", T.IntegerType())
+        spark.udf.registerJavaFunction(
+            _CHAR_MASK_UDF_NAME, "JwUdfs$CharMask", T.LongType()
+        )
         spark.udf.registerJavaFunction(
             _SHINGLE_UDF_NAME, "FastErUdfs$ShingleHashes", T.ArrayType(T.LongType())
         )
@@ -284,6 +289,16 @@ def jw_level_jvm(val_a, val_b, p: float, lower: float, upper: float) -> Column:
         _JW_UDF_NAME, a, b,
         F.lit(float(p)), F.lit(float(lower)), F.lit(float(upper)),
     )
+
+
+def char_mask_jvm(col) -> Column:
+    """64-bit char-multiset sketch of a BINARY column (jvm/JwUdfs.java::
+    CharMask) — pass ``F.col(c).cast("binary")`` of a string column. Used
+    by the pre-kernel candidate filter in scored_value_pairs; identical bit
+    layout to functions/jw.py::char_mask_bytes. The caller must have run
+    ensure_jvm_udfs(spark) first."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.call_udf(_CHAR_MASK_UDF_NAME, c)
 
 
 def jw_level_jvm_bin(val_a, val_b, p: float, lower: float, upper: float) -> Column:

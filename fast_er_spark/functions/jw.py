@@ -26,7 +26,14 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-__all__ = ["jaro_winkler_bytes", "jaro_winkler", "jw_batch", "discretize"]
+__all__ = [
+    "jaro_winkler_bytes",
+    "jaro_winkler",
+    "jw_batch",
+    "discretize",
+    "char_mask_bytes",
+    "char_mask_batch",
+]
 
 
 def jaro_winkler_bytes(s1: bytes, s2: bytes, p: float = 0.1) -> float:
@@ -289,6 +296,37 @@ def jw_batch(a: pd.Series, b: pd.Series, p: float = 0.1) -> pd.Series:
         if x == "" or y == "":
             continue
         out[i] = jaro_winkler_bytes(str(x).encode("utf-8"), str(y).encode("utf-8"), p)
+    return pd.Series(out)
+
+
+def char_mask_bytes(s: bytes) -> int:
+    """64-bit char-MULTISET sketch: one bit per (byte value, occurrence
+    index) pair, bit index (c*37 + k*131) & 63. popcount(maskA & maskB)
+    upper-bounds the greedy JW matcher's match count m (each match pairs
+    equal bytes; collisions only inflate the bound). Returned as a SIGNED
+    64-bit value (bit 63 wraps negative) so it round-trips through Spark
+    LongType; must stay in lockstep with jvm/JwUdfs.java::charMask."""
+    seen: dict[int, int] = {}
+    m = 0
+    for c in s:
+        k = seen.get(c, 0)
+        seen[c] = k + 1
+        m |= 1 << ((c * 37 + k * 131) & 63)
+    if m >= 1 << 63:
+        m -= 1 << 64
+    return m
+
+
+def char_mask_batch(vals: pd.Series) -> pd.Series:
+    """char_mask_bytes over a string Series (nulls -> 0). Runs on DISTINCT
+    values only (tens of k rows), so the per-element Python loop is off the
+    hot path by construction."""
+    out = np.zeros(len(vals), dtype=np.int64)
+    v = vals.to_numpy(dtype=object)
+    for i, x in enumerate(v):
+        if x is None or (isinstance(x, float) and pd.isna(x)):
+            continue
+        out[i] = char_mask_bytes(str(x).encode("utf-8"))
     return pd.Series(out)
 
 

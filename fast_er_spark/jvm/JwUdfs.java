@@ -17,6 +17,7 @@
  */
 
 import java.nio.charset.StandardCharsets;
+import org.apache.spark.sql.api.java.UDF1;
 import org.apache.spark.sql.api.java.UDF5;
 
 public class JwUdfs implements UDF5<String, String, Double, Double, Double, Integer> {
@@ -131,6 +132,37 @@ public class JwUdfs implements UDF5<String, String, Double, Double, Double, Inte
             if (s >= upper) return 2;
             if (s >= lower) return 1;
             return 0;
+        }
+    }
+
+    /**
+     * 64-bit character-MULTISET sketch for the pre-kernel candidate
+     * filter: one bit per (byte value, occurrence index) pair, so
+     * Long.bitCount(maskA &amp; maskB) upper-bounds the greedy matcher's
+     * match count m — each greedy match pairs equal bytes, at most
+     * min(countA(c), countB(c)) per byte value, and every such (c, k)
+     * contributes a shared bit. Hash collisions (two (c, k) pairs on one
+     * bit) only INFLATE the intersection count, so the filter that
+     * consumes this (operators/agreement.py::scored_value_pairs) stays
+     * conservative: it can never drop a pair the kernel would score at
+     * level &gt; 0. Must stay in lockstep with functions/jw.py::
+     * char_mask_bytes (same (c*37 + k*131) &amp; 63 bit index).
+     */
+    public static long charMask(byte[] s) {
+        long m = 0L;
+        int[] seen = new int[256];
+        for (byte b : s) {
+            int c = b & 0xFF;
+            int k = seen[c]++;
+            m |= 1L << ((c * 37 + k * 131) & 63);
+        }
+        return m;
+    }
+
+    public static class CharMask implements UDF1<byte[], Long> {
+        @Override
+        public Long call(byte[] s) {
+            return s == null ? 0L : charMask(s);
         }
     }
 

@@ -62,6 +62,22 @@ def _jw_levels_udf(p: float, lower: float, upper: float):
     return jw_level.asNondeterministic()
 
 
+def _char_mask_udf():
+    """Arrow-batched char_mask_bytes for the no-JDK fallback; only ever
+    evaluated on the DISTINCT value frames (pre-cross), so the Python hop
+    is tens of k rows, not the pair space."""
+    from ..functions.jw import char_mask_batch
+
+    @F.pandas_udf(T.LongType())
+    def cm(v: pd.Series) -> pd.Series:
+        return char_mask_batch(v)
+
+    def mask(c):
+        return cm(c)
+
+    return mask
+
+
 def char_lsh_value_candidates(
     num_perm: int = 64,
     bands: int = 32,
@@ -133,6 +149,7 @@ def default_value_candidates(
     pair_budget: int | None = None,
     pairs_per_partition: int = PAIRS_PER_PARTITION,
     sizes: tuple | None = None,
+    mask_col=None,
 ) -> DataFrame:
     """Adaptive candidate frame (val_a, val_b) for fuzzy scoring.
 
@@ -173,6 +190,13 @@ def default_value_candidates(
         )
     else:
         n_part = max(1, -(-(na * nb) // pairs_per_partition))
+        # mask_col (scored_value_pairs): the 64-bit char-multiset sketch is
+        # computed ONCE per distinct value here, pre-cross, and rides the
+        # cross join as one long per side — the bound filter above the
+        # cross then rejects most pairs before the JW kernel ever runs
+        if mask_col is not None:
+            vals_a = vals_a.withColumn("__ma", mask_col(F.col("val_a")))
+            vals_b = vals_b.withColumn("__mb", mask_col(F.col("val_b")))
         # broadcast whichever side is SMALLER: the budget bounds na*nb, not
         # the sides individually, so a 10 x 1e8 shape stays under budget
         # while a fixed-side broadcast would ship 1e8 strings (past Spark's
@@ -215,6 +239,35 @@ def scored_value_pairs(
         use_jvm = ensure_jvm_udfs(vals_a.sparkSession)
         if engine == "jvm" and not use_jvm:
             raise RuntimeError("no JDK available for engine='jvm'")
+    # char-multiset bound filter (sound, never drops a level>0 pair):
+    # the greedy matcher's match count m <= |multiset byte intersection|
+    # <= bit_count(mask_a & mask_b) (collisions only overcount), and
+    #   jw >= lower  =>  jaro >= jmin := (lower - 4p)/(1 - 4p)
+    #                =>  m/l1 + m/l2 + 1 >= 3*jmin
+    #                =>  m*(l1+l2) >= (3*jmin - 1)*l1*l2.
+    # At the defaults (p=0.1, lower=0.88): random name pairs share <1 mask
+    # bit while the bound demands ~0.7*len matches, so the overwhelming
+    # majority of cross-product candidates never reach the kernel.
+    # FAST_ER_JW_MASK=0 disables (A/B escape hatch).
+    import os
+
+    mask_coef = 0.0
+    if 4 * p < 1:
+        mask_coef = 3 * ((lower - 4 * p) / (1 - 4 * p)) - 1
+    use_mask = (
+        mask_coef > 0
+        and candidates is None
+        and os.environ.get("FAST_ER_JW_MASK", "1") != "0"
+    )
+    mask_fn = None
+    if use_mask:
+        if use_jvm:
+            from ..functions.jvm_sketch import char_mask_jvm
+
+            def mask_fn(c):
+                return char_mask_jvm(c.cast("binary"))
+        else:
+            mask_fn = _char_mask_udf()
     if candidates is None:
         cand = default_value_candidates(
             vals_a, vals_b, triangular,
@@ -222,6 +275,7 @@ def scored_value_pairs(
                 PAIRS_PER_PARTITION_JVM if use_jvm else PAIRS_PER_PARTITION
             ),
             sizes=sizes,
+            mask_col=mask_fn,
         )
     else:
         cand = candidates(vals_a, vals_b)
@@ -245,9 +299,28 @@ def scored_value_pairs(
             cand = cand.where(
                 F.least(la, lb).cast("double") >= F.greatest(la, lb) * F.lit(ratio)
             )
+    if "__ma" in cand.columns:
+        # the char-multiset bound (derivation above), COLLISION-COMPENSATED:
+        # the (c, k) pairs of one string are distinct by construction, so
+        # lost_X := octet_length(X) - bit_count(mask_X) counts that string's
+        # within-mask bit collisions. A collision inside the intersection
+        # set is a collision in BOTH strings, hence
+        #   I <= bit_count(ma & mb) + min(lost_a, lost_b)
+        # (without the min term the filter is UNSOUND: 'dalee' vs 'dnlee'
+        # share 4 matched bytes but only 3 mask bits — l@0 and e@1 collide
+        # inside 'dalee'). Keep iff that bound * (l1+l2) >= coef * l1 * l2;
+        # 1e-9 slack keeps float rounding strictly conservative; l1*l2 = 0
+        # (empty string) trivially keeps and the kernel scores it 0.
+        la, lb = F.octet_length("val_a"), F.octet_length("val_b")
+        pca = F.bit_count(F.col("__ma"))
+        pcb = F.bit_count(F.col("__mb"))
+        inter = F.bit_count(F.col("__ma").bitwiseAND(F.col("__mb")))
+        bound = inter + F.least(la - pca, lb - pcb)
+        cand = cand.where(
+            bound.cast("double") * (la + lb).cast("double")
+            >= F.lit(mask_coef - 1e-9) * la.cast("double") * lb.cast("double")
+        ).drop("__ma", "__mb")
     if use_jvm:
-        import os
-
         from ..functions.jvm_sketch import jw_level_jvm, jw_level_jvm_bin
 
         if os.environ.get("FAST_ER_JW_BIN", "1") != "0":

@@ -388,3 +388,65 @@ def test_text_kernels_randomized_parity(spark, jvm):
     for r in rows:
         assert r["se"] == r["sj"], (repr(texts[r["i"]]), r["se"], r["sj"])
         assert r["fe"] == r["fj"], (repr(texts[r["i"]]), r["fe"], r["fj"])
+
+
+def test_char_mask_jvm_python_parity(spark, jvm):
+    """jvm/JwUdfs.java::charMask and functions/jw.py::char_mask_bytes must
+    produce the identical signed 64-bit sketch for arbitrary (incl.
+    multi-byte and NUL-bearing) text — the cross/candidate plan may compute
+    masks with either engine."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.functions.jvm_sketch import char_mask_jvm
+    from fast_er_spark.functions.jw import char_mask_bytes
+
+    rng = random.Random(5)
+    alphabet = "abcdefgh é中\x00q9"
+    vals = ["", "a", "aaaa", "martha", "x" * 100] + [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v string"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", char_mask_jvm(F.col("v").cast("binary")).alias("m")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == char_mask_bytes(v.encode("utf-8")), repr(v)
+
+
+def test_scored_value_pairs_mask_filter_invariant(spark, jvm, monkeypatch):
+    """The char-mask prefilter must not change scored_value_pairs output —
+    identical (val_a, val_b, level) sets with the filter on and off, on both
+    the JVM and the Python engines."""
+    import random
+
+    from fast_er_spark.operators.agreement import scored_value_pairs
+
+    rng = random.Random(21)
+    names = list(
+        {f"name{i}" for i in range(300)}
+        | {"martha", "marhta", "dwayne", "duane", "jon", "john", "", "é中"}
+    )
+    rng.shuffle(names)
+    va = spark.createDataFrame([(v,) for v in names[:250]], "val_a string")
+    vb = spark.createDataFrame([(v,) for v in names[60:]], "val_b string")
+
+    def run(engine):
+        return {
+            tuple(r)
+            for r in scored_value_pairs(va, vb, 0.1, 0.88, 0.94, engine=engine).collect()
+        }
+
+    monkeypatch.setenv("FAST_ER_JW_MASK", "1")
+    on_jvm, on_py = run("jvm"), run("python")
+    monkeypatch.setenv("FAST_ER_JW_MASK", "0")
+    off = run("jvm")
+    assert on_jvm == off and on_py == off
+    assert off  # non-degenerate fixture

@@ -185,3 +185,50 @@ def test_trailing_nul_routes_to_scalar_path():
         jaro_winkler_bytes(x.encode("utf-8"), y.encode("utf-8")) for x, y in cases
     ]
     assert got == pytest.approx(want)
+
+
+def test_char_mask_bound_soundness_fuzz():
+    """The pre-kernel candidate filter (scored_value_pairs) keeps a pair iff
+    bit_count(mask_a & mask_b)*(l1+l2) >= (3*jmin - 1)*l1*l2. Property: NO
+    pair the kernel scores at level > 0 may be rejected, for any (p, lower)
+    the filter activates on — mask collisions only overcount, so the bound
+    stays conservative."""
+    import random
+
+    from fast_er_spark.functions.jw import char_mask_bytes, jaro_winkler_bytes
+
+    rng = random.Random(99)
+    alphabet = "abcdefghijkl é中\x00"
+    for p, lower in [(0.1, 0.88), (0.1, 0.94), (0.05, 0.8), (0.2, 0.95)]:
+        if 4 * p >= 1:
+            continue
+        jmin = (lower - 4 * p) / (1 - 4 * p)
+        coef = 3 * jmin - 1
+        if coef <= 0:
+            continue
+        cases = [
+            ("martha", "marhta"), ("dwayne", "duane"), ("aaaaaa", "aaaaa"),
+            ("jon", "john"), ("washington", "washingtno"), ("", ""), ("a", "a"),
+        ]
+        for _ in range(4000):
+            la, lb = rng.randint(0, 14), rng.randint(0, 14)
+            cases.append(
+                (
+                    "".join(rng.choice(alphabet) for _ in range(la)),
+                    "".join(rng.choice(alphabet) for _ in range(lb)),
+                )
+            )
+        for a, b in cases:
+            ba, bb = a.encode("utf-8"), b.encode("utf-8")
+            ma = char_mask_bytes(ba) & (2**64 - 1)
+            mb = char_mask_bytes(bb) & (2**64 - 1)
+            # the production predicate (scored_value_pairs), incl. the
+            # within-string collision compensation term
+            inter = bin(ma & mb).count("1")
+            lost_a = len(ba) - bin(ma).count("1")
+            lost_b = len(bb) - bin(mb).count("1")
+            keep = (inter + min(lost_a, lost_b)) * (len(ba) + len(bb)) >= (
+                coef - 1e-9
+            ) * len(ba) * len(bb)
+            lvl = discretize(jaro_winkler_bytes(ba, bb, p), lower, min(1.0, lower + 0.06))
+            assert not (lvl > 0 and not keep), (a, b, p, lower, lvl)
