@@ -41,7 +41,7 @@ from .operators.agreement import (
     fuzzy_levels_linkage,
     pattern_counts,
 )
-from .patterns import counts_with_complement, strides
+from .patterns import counts_with_complement, n_patterns, strides
 
 __all__ = ["Comparison", "Deduplication", "Linkage", "Estimation"]
 
@@ -131,6 +131,32 @@ def _pack_ok(*totals: int | None) -> bool:
     return all(t is not None and t < _PACK_MAX_ID for t in totals)
 
 
+def _single_long_bits(n_a, n_b, st, k_fuzzy: int, k_exact: int):
+    """Bit layouts for the single-long encodings, or None when they don't
+    fit in 63 bits (sign bit stays 0 so longs compare/shift safely).
+
+    Returns ((bits_a, bits_b, bits_contrib), (bits_a, bits_b, bits_pid)):
+    the first layout packs one (pair, per-variable contribution) edge of
+    the assembly shuffle; the second packs a finished (id_a, id_b,
+    pattern_id) row for the parquet spill. Positional ids are bounded by
+    the row counts (0..n-1); the max per-edge contribution is level 2 on
+    the largest-stride fuzzy variable; the max pattern id is
+    n_patterns - 1."""
+    import os
+
+    if os.environ.get("FAST_ER_PACK1", "1") == "0":  # A/B escape hatch
+        return None
+    if n_a is None or n_b is None or k_fuzzy < 1:
+        return None
+    ba = max(1, (int(n_a) - 1).bit_length())
+    bb = max(1, (int(n_b) - 1).bit_length())
+    bc = max(1, (2 * st[0]).bit_length())
+    bp = max(1, (n_patterns(k_fuzzy, k_exact) - 1).bit_length())
+    if ba + bb + max(bc, bp) > 63:
+        return None
+    return ((ba, bb, bc), (ba, bb, bp))
+
+
 def _batched_distinct_counts(df: DataFrame, cols: list[str]) -> list[int]:
     """Every column's distinct non-null count in ONE aggregation job."""
     row = df.agg(
@@ -157,7 +183,9 @@ def _cleanup_spill_dirs() -> None:
 atexit.register(_cleanup_spill_dirs)
 
 
-def _materialize_pairs(df: DataFrame, big: bool) -> DataFrame:
+def _materialize_pairs(
+    df: DataFrame, big: bool, pack_bits: tuple[int, int, int] | None = None
+) -> DataFrame:
     """Materialize a pattern/pair frame once for its two consumers
     (counts()'s histogram and transform()'s admitted-pair filter).
 
@@ -167,6 +195,15 @@ def _materialize_pairs(df: DataFrame, big: bool) -> DataFrame:
     100k x 100k reference workload — the single most expensive operator in
     the whole job), while the vectorized parquet writer materializes the
     same frame in a few seconds and reads back vectorized+compressed.
+
+    ``pack_bits`` = (bits_a, bits_b, bits_pid), passed when the caller has
+    PROVEN id_a < 2^bits_a, id_b < 2^bits_b, pattern_id < 2^bits_pid and
+    the sum is <= 63: the big-frame spill then writes ONE packed long
+    column instead of three longs (~3x fewer parquet column bytes to
+    encode/compress and decode on every downstream read) and re-derives
+    the columns with codegen bit ops after the scan. counts()'s histogram
+    only consumes pattern_id, so column pruning keeps its post-spill scan
+    to the packed column with no id unpacking at all.
 
     Spill location: ``spark.fast_er.spillDir`` if set (POINT THIS AT SHARED
     STORAGE — HDFS/S3 — on a real cluster: executors write the files
@@ -188,20 +225,68 @@ def _materialize_pairs(df: DataFrame, big: bool) -> DataFrame:
     else:
         path = tempfile.mkdtemp(prefix="fast_er_pairs_")
         _spill_dirs.append(path)
+    if (
+        pack_bits is not None
+        and df.columns == ["id_a", "id_b", "pattern_id"]
+        and os.environ.get("FAST_ER_PACK_SPILL", "1") != "0"
+    ):
+        ba, bb, bp = pack_bits
+        if ba + bb + bp <= 63:
+            packed = df.select(
+                F.shiftleft(F.col("id_a"), bb + bp)
+                .bitwiseOR(F.shiftleft(F.col("id_b"), bp))
+                .bitwiseOR(F.col("pattern_id"))
+                .alias("__pk")
+            )
+            packed.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path).select(
+                F.shiftrightunsigned(F.col("__pk"), bb + bp).alias("id_a"),
+                F.shiftrightunsigned(F.col("__pk"), bp)
+                .bitwiseAND(F.lit((1 << bb) - 1))
+                .alias("id_b"),
+                F.col("__pk").bitwiseAND(F.lit((1 << bp) - 1)).alias("pattern_id"),
+            )
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
 def _sparse_fuzzy_union(
-    fuzzy_frames, st, k_fuzzy: int, pack: bool, prepartition: bool = False
+    fuzzy_frames,
+    st,
+    k_fuzzy: int,
+    pack: bool,
+    prepartition: bool = False,
+    pack_bits: tuple[int, int, int] | None = None,
 ) -> DataFrame:
     """union + groupBy of per-variable level frames -> (id_a, id_b, __fz).
 
-    The union is the engine's dominant shuffle (~2.3e8 level-edge rows at
-    100k x 100k). ``pack=True`` (gated by _pack_ok: every id provably
-    < 2^31) carries ONE packed long key (id_a << 32 | id_b) and an int
-    contribution — 12 bytes per shuffle row instead of 24."""
-    if pack:
+    The union is the engine's dominant shuffle (~1.26e8 level-edge rows at
+    100k x 100k). ``pack_bits`` = (bits_a, bits_b, bits_contrib), passed
+    when the caller has proven id_a < 2^bits_a, id_b < 2^bits_b, every
+    per-row contribution < 2^bits_contrib, and the sum <= 63: the shuffle
+    then carries ONE long per edge — (id_a << (bb+bc)) | (id_b << bc) |
+    contrib — an 8-byte UnsafeRow field where the (key long, contrib int)
+    pair costs 16 (both plus the 8-byte row header). The groupBy keys on
+    shiftrightunsigned(__e, bc), which canonicalizes equal to the
+    repartition expression, so prepartition still produces exactly one
+    exchange with partial+final aggregation both post-shuffle (verified in
+    the plan). Contributions of a pair's edges occupy disjoint stride
+    slots (one variable each; duplicate same-variable edges impossible),
+    so summing the masked low bits reassembles the fuzzy pattern exactly
+    as the unpacked path does. Fallback ``pack=True`` (ids < 2^31 but the
+    single-long layout doesn't fit) keeps the two-field packed key."""
+    if pack_bits is not None:
+        ba, bb, bc = pack_bits
+        contribs = [
+            f.select(
+                F.shiftleft(F.col("id_a"), bb + bc)
+                .bitwiseOR(F.shiftleft(F.col("id_b"), bc))
+                .bitwiseOR((F.col("level") * F.lit(s)).cast("long"))
+                .alias("__e")
+            )
+            for f, s in zip(fuzzy_frames, st[:k_fuzzy])
+        ]
+    elif pack:
         key = F.shiftleft(F.col("id_a"), 32).bitwiseOR(F.col("id_b"))
         contribs = [
             f.select(
@@ -234,7 +319,23 @@ def _sparse_fuzzy_union(
     # small-input lesson again). FAST_ER_PREPARTITION=0 force-disables.
     if prepartition and os.environ.get("FAST_ER_PREPARTITION", "1") != "0":
         sp = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
-        u = u.repartition(sp, *(["__k"] if pack else ["id_a", "id_b"]))
+        if pack_bits is not None:
+            u = u.repartition(sp, F.shiftrightunsigned(F.col("__e"), pack_bits[2]))
+        else:
+            u = u.repartition(sp, *(["__k"] if pack else ["id_a", "id_b"]))
+    if pack_bits is not None:
+        ba, bb, bc = pack_bits
+        return (
+            u.groupBy(F.shiftrightunsigned(F.col("__e"), bc).alias("__k"))
+            .agg(
+                F.sum(F.col("__e").bitwiseAND(F.lit((1 << bc) - 1))).alias("__fz")
+            )
+            .select(
+                F.shiftrightunsigned(F.col("__k"), bb).alias("id_a"),
+                F.col("__k").bitwiseAND(F.lit((1 << bb) - 1)).alias("id_b"),
+                "__fz",
+            )
+        )
     if pack:
         return (
             u.groupBy("__k")
@@ -295,6 +396,7 @@ class Comparison:
         self._counts: np.ndarray | None = None
         self._sparse: DataFrame | None = None
         self._sparse_materialized = False
+        self._pack_bits = None
         self._ab: tuple[DataFrame, DataFrame] | None = None
 
     def _big(self) -> bool:
@@ -381,8 +483,12 @@ class Comparison:
             self.id_a is None and self.id_b is None
             and _pack_ok(self._n_a, self._n_b)
         )
+        self._pack_bits = _single_long_bits(
+            self._n_a, self._n_b, st, self.k_fuzzy, self.k_exact
+        ) if pack else None
         sparse = _sparse_fuzzy_union(
-            fuzzy_frames, st, self.k_fuzzy, pack, prepartition=self._big()
+            fuzzy_frames, st, self.k_fuzzy, pack,
+            prepartition=self._big(), pack_bits=self._pack_bits and self._pack_bits[0],
         )
         # exact agreement is a per-pair LOOKUP on the (small-per-pair) sparse
         # frame — two equi-joins per exact variable against the id->value
@@ -414,7 +520,10 @@ class Comparison:
         """Materialize the sparse pattern frame on first consumption and
         rebuild self.patterns on top of the materialized frame."""
         if not self._sparse_materialized:
-            self._sparse = _materialize_pairs(self._sparse, self._big())
+            self._sparse = _materialize_pairs(
+                self._sparse, self._big(),
+                pack_bits=self._pack_bits and self._pack_bits[1],
+            )
             self._sparse_materialized = True
             self.patterns = self._sparse.unionByName(self._exact_only_patterns())
         return self._sparse
@@ -615,6 +724,7 @@ class Deduplication:
         self._counts: np.ndarray | None = None
         self._sparse: DataFrame | None = None
         self._sparse_materialized = False
+        self._pack_bits = None
         self._d: DataFrame | None = None
 
     def _big(self) -> bool:
@@ -669,8 +779,12 @@ class Deduplication:
     def _fit_sparse(self, d: DataFrame, fuzzy_frames) -> None:
         st = strides(self.k_fuzzy, self.k_exact)
         pack = self.id_col is None and _pack_ok(self._n)
+        self._pack_bits = _single_long_bits(
+            self._n, self._n, st, self.k_fuzzy, self.k_exact
+        ) if pack else None
         sparse = _sparse_fuzzy_union(
-            fuzzy_frames, st, self.k_fuzzy, pack, prepartition=self._big()
+            fuzzy_frames, st, self.k_fuzzy, pack,
+            prepartition=self._big(), pack_bits=self._pack_bits and self._pack_bits[0],
         )
         exact_expr = F.lit(0).cast("long")
         for idx, c in enumerate(self.vars_exact):
@@ -691,7 +805,10 @@ class Deduplication:
 
     def _ensure_sparse(self) -> DataFrame:
         if not self._sparse_materialized:
-            self._sparse = _materialize_pairs(self._sparse, self._big())
+            self._sparse = _materialize_pairs(
+                self._sparse, self._big(),
+                pack_bits=self._pack_bits and self._pack_bits[1],
+            )
             self._sparse_materialized = True
             self.patterns = self._sparse.unionByName(self._exact_only_patterns())
         return self._sparse

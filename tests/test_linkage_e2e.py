@@ -268,3 +268,67 @@ def test_row_id_matches_zipwithindex_and_runs_no_python(spark, monkeypatch):
     assert got == expect
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "PythonRDD" not in plan
+
+
+def test_big_path_packed_shuffle_and_spill_parity(spark, monkeypatch, tmp_path):
+    """Force the BIG fit path (pre-partitioned assembly, single-long packed
+    shuffle edges, single-column packed parquet spill) on a small positional
+    -id fixture and require byte-identical results vs the small path:
+    identical counts, identical full pattern surface, identical transform
+    pairs. Guards the round-5 8-byte edge encoding and the packed spill
+    (linkage.py::_single_long_bits) against drift."""
+    import numpy as np
+
+    from fixtures.synth import people
+
+    import fast_er_spark.linkage as L
+    from fast_er_spark.linkage import Comparison, Deduplication, Estimation, Linkage
+
+    rows_a, rows_b = people(n=80, seed=23)
+    df_a = spark.createDataFrame(rows_a)
+    df_b = spark.createDataFrame(rows_b)
+    FUZZY = ["last_name", "first_name"]
+    EXACT = ["birth_year"]
+
+    small = Comparison(df_a, df_b, FUZZY, FUZZY, EXACT, EXACT).fit()
+    c_small = small.counts()
+    pat_small = {(r.id_a, r.id_b, r.pattern_id) for r in small.patterns.collect()}
+
+    monkeypatch.setattr(L, "_SPILL_PAIR_SPACE", 0)
+    spark.conf.set("spark.fast_er.spillDir", str(tmp_path))
+    try:
+        big = Comparison(df_a, df_b, FUZZY, FUZZY, EXACT, EXACT).fit()
+        assert big._big() and big._pack_bits is not None
+        c_big = big.counts()
+        # the spill parquet must hold ONE packed column
+        spilled = [p for p in tmp_path.iterdir() if p.name.startswith("pairs_")]
+        assert spilled
+        assert spark.read.parquet(str(spilled[0])).columns == ["__pk"]
+        np.testing.assert_array_equal(c_big, c_small)
+        pat_big = {(r.id_a, r.id_b, r.pattern_id) for r in big.patterns.collect()}
+        assert pat_big == pat_small and pat_big
+
+        est = Estimation(len(FUZZY), len(EXACT), c_small, seed=13).fit()
+        out_small = {
+            (r.Index_A, r.Index_B)
+            for r in Linkage(None, None, small, est.ksi).transform(0.5).collect()
+        }
+        out_big = {
+            (r.Index_A, r.Index_B)
+            for r in Linkage(None, None, big, est.ksi).transform(0.5).collect()
+        }
+        assert out_big == out_small
+
+        # dedup big path too (triangular universe, same encodings)
+        rows = rows_a[:60]
+        df = spark.createDataFrame(rows)
+        dd_big = Deduplication(df, FUZZY, EXACT).fit()
+        assert dd_big._big() and dd_big._pack_bits is not None
+        monkeypatch.setattr(L, "_SPILL_PAIR_SPACE", 10**18)
+        dd_small = Deduplication(df, FUZZY, EXACT).fit()
+        np.testing.assert_array_equal(dd_big.counts(), dd_small.counts())
+        pb = {(r.id_a, r.id_b, r.pattern_id) for r in dd_big.patterns.collect()}
+        ps = {(r.id_a, r.id_b, r.pattern_id) for r in dd_small.patterns.collect()}
+        assert pb == ps and pb
+    finally:
+        spark.conf.unset("spark.fast_er.spillDir")
