@@ -62,8 +62,9 @@ def _with_row_id(df: DataFrame, order_col: str | None) -> tuple[DataFrame, int |
     assigned ENTIRELY JVM-side:
 
     - ``monotonically_increasing_id()`` encodes (partition index << 33) |
-      (row position within partition); an EAGER localCheckpoint freezes
-      those values so every downstream action sees the same ids;
+      (row position within partition); a localCheckpoint (lazy — the sizes
+      job right after is its materializing action) freezes those values so
+      every downstream action sees the same ids;
     - one driver-sized count job reads per-partition sizes off the frozen
       frame (grouping by the id's partition bits, so the result is
       consistent even if the checkpoint read repartitions);
@@ -76,7 +77,15 @@ def _with_row_id(df: DataFrame, order_col: str | None) -> tuple[DataFrame, int |
     if order_col is not None:
         return df.withColumn(_ROW_ID, F.col(order_col).cast("long")), None
     spark = df.sparkSession
-    mid = df.withColumn("__mid", F.monotonically_increasing_id()).localCheckpoint(eager=True)
+    # LAZY checkpoint: the sizes collect right below is the first action, so
+    # the checkpoint blocks are written during its scan — one pass over the
+    # input instead of eager's materialize-then-rescan. (The AQE lazy-
+    # checkpoint double-pass pathology, see _fit_sparse, concerns frames
+    # with SHUFFLE stages; whatever upstream shuffles the input carries run
+    # exactly once either way, and the id-bearing scan itself is not
+    # repeated.) Ids freeze at that first materialization and every later
+    # consumer reads the same frozen blocks.
+    mid = df.withColumn("__mid", F.monotonically_increasing_id()).localCheckpoint(eager=False)
     part_of = F.shiftrightunsigned(F.col("__mid"), 33)
     sizes = mid.groupBy(part_of.alias("__pid")).agg(F.count(F.lit(1)).alias("__n")).collect()
     offsets, acc = [], 0
@@ -225,6 +234,17 @@ def _materialize_pairs(
     else:
         path = tempfile.mkdtemp(prefix="fast_er_pairs_")
         _spill_dirs.append(path)
+    # spill codec override (A/B hatch; e.g. lz4 or uncompressed trade disk
+    # bytes for encode/decode CPU — keep the session default on shared
+    # storage, where spilled bytes cross the network)
+    codec = os.environ.get("FAST_ER_SPILL_CODEC")
+
+    def _write(frame: DataFrame) -> None:
+        w = frame.write.mode("overwrite")
+        if codec:
+            w = w.option("compression", codec)
+        w.parquet(path)
+
     if (
         pack_bits is not None
         and df.columns == ["id_a", "id_b", "pattern_id"]
@@ -238,7 +258,7 @@ def _materialize_pairs(
                 .bitwiseOR(F.col("pattern_id"))
                 .alias("__pk")
             )
-            packed.write.mode("overwrite").parquet(path)
+            _write(packed)
             return spark.read.parquet(path).select(
                 F.shiftrightunsigned(F.col("__pk"), bb + bp).alias("id_a"),
                 F.shiftrightunsigned(F.col("__pk"), bp)
@@ -246,7 +266,7 @@ def _materialize_pairs(
                 .alias("id_b"),
                 F.col("__pk").bitwiseAND(F.lit((1 << bp) - 1)).alias("pattern_id"),
             )
-    df.write.mode("overwrite").parquet(path)
+    _write(df)
     return spark.read.parquet(path)
 
 
@@ -319,6 +339,19 @@ def _sparse_fuzzy_union(
     # small-input lesson again). FAST_ER_PREPARTITION=0 force-disables.
     if prepartition and os.environ.get("FAST_ER_PREPARTITION", "1") != "0":
         sp = int(u.sparkSession.conf.get("spark.sql.shuffle.partitions", "64"))
+        # NEGATIVE RESULT (round 5, keep factor 1): over-partitioning this
+        # exchange (factor 16 -> 1024 tasks at 100k x 100k) looked like a
+        # win in an isolated exchange+agg microbench (smaller per-task agg
+        # hash maps: 5.5-6.5 s vs 7-8 s), but the FULL pipeline measured it
+        # 4-7 s SLOWER (interleaved A/B: counts phase 31.3-33.9 s at
+        # factor 16 vs 26.1-26.8 s at factor 1, the latter under heavier
+        # steal): 16x reduce buckets inflate the map-side shuffle write of
+        # the CPU-bound JW stage (939 MB vs 850 MB + per-bucket stream
+        # overhead) and fragment the spill parquet into 1024 files. The
+        # microbench's persisted input had a trivial map side, which is
+        # exactly where the real cost landed.
+        factor = int(os.environ.get("FAST_ER_ASSEMBLY_PARTITION_FACTOR", "1"))
+        sp = min(sp * max(1, factor), 4096)
         if pack_bits is not None:
             u = u.repartition(sp, F.shiftrightunsigned(F.col("__e"), pack_bits[2]))
         else:
@@ -443,8 +476,15 @@ class Comparison:
         # the JW stage (~5 s of driver-side latency at 4 variables)
         sizes_ab = None
         if self.k_fuzzy and candidates is None:
-            da = _batched_distinct_counts(a, self.vars_fuzzy_a)
-            db = _batched_distinct_counts(b, self.vars_fuzzy_b)
+            # the A- and B-side count jobs are independent: submit them from
+            # two threads so the scheduler overlaps them on idle cores (wall
+            # ~= max of the two instead of their sum)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(2) as ex:
+                fa = ex.submit(_batched_distinct_counts, a, self.vars_fuzzy_a)
+                fb = ex.submit(_batched_distinct_counts, b, self.vars_fuzzy_b)
+                da, db = fa.result(), fb.result()
             sizes_ab = list(zip(da, db))
         fuzzy_frames = []
         for i, (ca, cb) in enumerate(zip(self.vars_fuzzy_a, self.vars_fuzzy_b)):
