@@ -685,10 +685,19 @@ class Comparison:
         if self.patterns is None:
             raise RuntimeError("fit() first")
         if self._counts is None and self._sparse is not None:
-            observed = {
-                int(r["pattern_id"]): int(r["cnt"])
-                for r in pattern_counts(self._ensure_sparse()).collect()
-            }
+            # the exact-value CUBE job reads only the raw a/b frames — it is
+            # independent of the sparse materialization, so submit it from a
+            # thread and let it run CONCURRENTLY with the (much larger)
+            # histogram job instead of serially after it
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(1) as ex:
+                fut_exact = ex.submit(self._exact_joint_counts)
+                observed = {
+                    int(r["pattern_id"]): int(r["cnt"])
+                    for r in pattern_counts(self._ensure_sparse()).collect()
+                }
+                exact_joint = fut_exact.result()
             # exact-only patterns: analytical count = (pairs whose exact
             # agreement vector is exactly e, any fuzzy) minus (sparse pairs
             # whose exact bits are e) — no pair materialization
@@ -696,10 +705,13 @@ class Comparison:
             for pid, c in observed.items():
                 e = pid % (2**self.k_exact)
                 sparse_by_e[e] = sparse_by_e.get(e, 0) + c
-            for e, total in self._exact_joint_counts().items():
+            for e, total in exact_joint.items():
                 observed[e] = total - sparse_by_e.get(e, 0)
             if self.blocking_a is None:
-                total_a, total_b = self.df_a.count(), self.df_b.count()
+                # positional row ids ship the exact totals for free; natural
+                # keys pay the two count jobs once
+                total_a = self._n_a if self._n_a is not None else self.df_a.count()
+                total_b = self._n_b if self._n_b is not None else self.df_b.count()
                 self._counts = counts_with_complement(
                     observed, self.k_fuzzy, self.k_exact, total_a, total_b
                 )
@@ -711,7 +723,8 @@ class Comparison:
                 for r in pattern_counts(self.patterns).collect()
             }
             if self.blocking_a is None:
-                total_a, total_b = self.df_a.count(), self.df_b.count()
+                total_a = self._n_a if self._n_a is not None else self.df_a.count()
+                total_b = self._n_b if self._n_b is not None else self.df_b.count()
                 self._counts = counts_with_complement(
                     observed, self.k_fuzzy, self.k_exact, total_a, total_b
                 )
@@ -911,18 +924,26 @@ class Deduplication:
         if self.patterns is None:
             raise RuntimeError("fit() first")
         if self._counts is None and self._sparse is not None:
-            observed = {
-                int(r["pattern_id"]): int(r["cnt"])
-                for r in pattern_counts(self._ensure_sparse()).collect()
-            }
+            # overlap the (sparse-independent) exact CUBE job with the
+            # histogram job — see Comparison.counts()
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(1) as ex:
+                fut_exact = ex.submit(self._exact_joint_counts)
+                observed = {
+                    int(r["pattern_id"]): int(r["cnt"])
+                    for r in pattern_counts(self._ensure_sparse()).collect()
+                }
+                exact_joint = fut_exact.result()
             sparse_by_e: dict[int, int] = {}
             for pid, c in observed.items():
                 e = pid % (2**self.k_exact)
                 sparse_by_e[e] = sparse_by_e.get(e, 0) + c
-            for e, total in self._exact_joint_counts().items():
+            for e, total in exact_joint.items():
                 observed[e] = total - sparse_by_e.get(e, 0)
             self._counts = counts_with_complement(
-                observed, self.k_fuzzy, self.k_exact, self.df.count(), None
+                observed, self.k_fuzzy, self.k_exact,
+                self._n if self._n is not None else self.df.count(), None,
             )
         if self._counts is None:
             observed = {
@@ -930,7 +951,8 @@ class Deduplication:
                 for r in pattern_counts(self.patterns).collect()
             }
             self._counts = counts_with_complement(
-                observed, self.k_fuzzy, self.k_exact, self.df.count(), None
+                observed, self.k_fuzzy, self.k_exact,
+                self._n if self._n is not None else self.df.count(), None,
             )
         return self._counts
 
