@@ -181,6 +181,11 @@ def _batched_distinct_counts(df: DataFrame, cols: list[str]) -> list[int]:
 # spilled to parquet instead of the in-memory columnar cache (see
 # _materialize_pairs)
 _SPILL_PAIR_SPACE = 100_000_000
+# transform()'s ksi lookup frame: literal-expression form up to this many
+# admitted patterns (JVM-only, no Python-RDD job); past it, the driver plan
+# would bloat with millions of expression nodes, so fall back to
+# createDataFrame (same rationale as _with_row_id's offsets frame).
+_KSI_LITERAL_MAX = 20_000
 _spill_dirs: list[str] = []
 
 
@@ -1002,7 +1007,7 @@ class Linkage:
         # admitted patterns fall back to createDataFrame like _with_row_id,
         # where a literal expression tree would bloat the plan.
         admitted_ksi = [(i, float(self.ksi[i])) for i in admitted]
-        if len(admitted_ksi) <= 20_000:
+        if len(admitted_ksi) <= _KSI_LITERAL_MAX:
             ksi_df = spark.range(1).select(
                 F.explode(
                     F.array(

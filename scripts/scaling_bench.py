@@ -21,7 +21,9 @@ The measured job is the full dedup core: MinHash signatures -> LSH banding ->
 candidate generation -> exact-Jaccard verify -> connected components, on a
 deterministic synthetic corpus (vectorized generator below).
 
-Usage: python scripts/scaling_bench.py [n_docs] [executors|threads|linkage|cpu_control] [scheme]
+Usage: python scripts/scaling_bench.py [n_docs]
+    [executors|executors2|topology|threads|linkage|linkage2|linkage_topology|
+     cpu_control|cpu_control2] [scheme]
 ``scheme`` (dedup modes only): kperm | oph | oph_jvm (compiled executor-JVM
 kernel; requires a JDK on the driver — the jar ships to executors via the
 session file server exactly like --jars).
@@ -222,23 +224,42 @@ MODES = {
     # 2-vs-8 executors oversubscribes the host and anti-scales (PERF.md).
     "executors": ("local-cluster[1,4,16384]", 4, "local-cluster[4,4,16384]", 16,
                   "14g", "1 executor x 4 cores vs 4 executors x 4 cores"),
+    # executors2: same topology ratio at half the per-executor width, so the
+    # 4N level uses 8 of 32 host cores — BELOW the shared-box knee where the
+    # pure-CPU control itself stops scaling (cpu_control: 0.69 at 4->16
+    # workers; memory bandwidth + one NVMe are shared by every extra core on
+    # ONE box, where a real 4N-executor cluster adds them proportionally).
+    # This is the closest this sandbox gets to "per-executor resources
+    # constant", which is the regime the north_rule's >=0.8 assumes.
+    "executors2": ("local-cluster[1,2,16384]", 2, "local-cluster[4,2,16384]", 8,
+                   "14g", "1 executor x 2 cores vs 4 executors x 2 cores "
+                   "(unsaturated host: 4N uses 8 of 32 cores)"),
     "threads": ("local[8]", 8, "local[32]", 32, "7g",
                 "local[8] vs local[32], one JVM"),
+    # topology: SAME total cores (8) at both levels — 1 executor x 8 cores
+    # vs 4 executors x 2 cores. Box resources (membw, NVMe, co-tenant
+    # interference) are held constant, so the ratio isolates the ONLY cost
+    # the executor axis itself adds: cross-executor shuffle, per-executor
+    # JVM/GC, coordination. This is the component of N->4N scaling the
+    # ENGINE controls; the rest is hardware provisioning (cpu_control).
+    "topology": ("local-cluster[1,8,16384]", 8, "local-cluster[4,2,16384]", 8,
+                 "14g", "1 executor x 8 cores vs 4 executors x 2 cores "
+                 "(same 8 host cores; ratio = multi-executor overhead only)"),
 }
 
 
-def cpu_control(n_tasks: int = 256) -> None:
+def cpu_control(n_tasks: int = 256, lo: int = 4, hi: int = 16) -> None:
     """Pure-CPU scaling control: the SAME sketch kernel work (shingle-hash +
-    MinHash over synthetic docs) on a multiprocessing pool at 4 vs 16
-    workers — no JVM, no shuffle, no Spark. If this scales ~1.0 while the
-    Spark job does not, the gap is shared-box memory bandwidth / shuffle IO,
-    not the DAG."""
+    MinHash over synthetic docs) on a multiprocessing pool at ``lo`` vs
+    ``hi`` workers — no JVM, no shuffle, no Spark. If this scales ~1.0 while
+    the Spark job does not, the gap is shared-box memory bandwidth / shuffle
+    IO, not the DAG."""
     import multiprocessing as mp
     import time
 
     sys.path.insert(0, REPO)
     results = {}
-    for workers in (4, 16):
+    for workers in (lo, hi):
         s0 = _steal_sec()
         t0 = time.perf_counter()
         with mp.get_context("spawn").Pool(workers) as pool:
@@ -249,10 +270,10 @@ def cpu_control(n_tasks: int = 256) -> None:
             "docs_per_sec": round(n_tasks * 2000 / wall, 1),
             "steal_sec": round(_steal_sec() - s0, 1),
         }
-    eff = results[16]["docs_per_sec"] / (4 * results[4]["docs_per_sec"])
+    eff = results[hi]["docs_per_sec"] / ((hi // lo) * results[lo]["docs_per_sec"])
     print(json.dumps({
-        "metric": "cpu_control_scaling_4_vs_16_workers",
-        "low": results[4], "high": results[16],
+        "metric": f"cpu_control_scaling_{lo}_vs_{hi}_workers",
+        "low": results[lo], "high": results[hi],
         "efficiency": round(eff, 3),
     }))
 
@@ -272,20 +293,23 @@ def _cpu_control_task(seed: int) -> int:
     return len(minhash_batch(texts, num_perm=128, n=3, mode="word", seed=42))
 
 
-def linkage_scaling(n: int, trials: int = 2) -> None:
+def linkage_scaling(n: int, trials: int = 2, mode: str = "executors") -> None:
     """The reference 100k x 100k linkage workload (scaled to ``n``) at 1 vs
     4 executors — the north_rule scaling evidence for the LINKAGE engine's
     shuffles (union+groupBy pattern assembly, JW candidate scoring, CUBE
     counts), complementing the dedup-job table. Fixed workload at both
     levels => efficiency = wall_lo / (4 * wall_hi)."""
-    lo_master, lo_cores, hi_master, hi_cores, exec_mem, label = MODES["executors"]
+    lo_master, lo_cores, hi_master, hi_cores, exec_mem, label = MODES[mode]
+    core_ratio = hi_cores // lo_cores if hi_cores > lo_cores else 1
     lo = run_level(lo_master, lo_cores, str(n), trials=trials,
                    exec_mem=exec_mem, template=LINKAGE_WORKER)
     hi = run_level(hi_master, hi_cores, str(n), trials=trials,
                    exec_mem=exec_mem, template=LINKAGE_WORKER)
-    eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
+    eff = hi["docs_per_sec"] / (core_ratio * lo["docs_per_sec"])
+    metric = (f"linkage_scaling_efficiency_Nx4_{mode}" if core_ratio > 1
+              else f"linkage_multi_executor_overhead_{mode}")
     print(json.dumps({
-        "metric": "linkage_scaling_efficiency_Nx4_executors",
+        "metric": metric,
         "topology": label,
         "n_per_side": n,
         "low": lo,
@@ -301,19 +325,31 @@ def main() -> None:
     if mode == "cpu_control":
         cpu_control()
         return
+    if mode == "cpu_control2":
+        cpu_control(lo=2, hi=8)
+        return
     if mode == "linkage":
         linkage_scaling(n if len(sys.argv) > 1 else 30_000)
         return
+    if mode == "linkage2":
+        linkage_scaling(n if len(sys.argv) > 1 else 30_000, mode="executors2")
+        return
+    if mode == "linkage_topology":
+        linkage_scaling(n if len(sys.argv) > 1 else 30_000, mode="topology")
+        return
     scheme = sys.argv[3] if len(sys.argv) > 3 else "kperm"
     lo_master, lo_cores, hi_master, hi_cores, exec_mem, label = MODES[mode]
+    core_ratio = hi_cores // lo_cores if hi_cores > lo_cores else 1
     with tempfile.TemporaryDirectory(prefix="scaling_corpus_") as td:
         data = os.path.join(td, "corpus.parquet")
         synth_corpus(data, n)
         lo = run_level(lo_master, lo_cores, data, exec_mem=exec_mem, scheme=scheme)
         hi = run_level(hi_master, hi_cores, data, exec_mem=exec_mem, scheme=scheme)
-    eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
+    eff = hi["docs_per_sec"] / (core_ratio * lo["docs_per_sec"])
+    metric = (f"dedup_scaling_efficiency_Nx4_{mode}" if core_ratio > 1
+              else f"dedup_multi_executor_overhead_{mode}")
     print(json.dumps({
-        "metric": f"dedup_scaling_efficiency_Nx4_{mode}",
+        "metric": metric,
         "topology": label,
         "n_docs": n,
         "low": lo,

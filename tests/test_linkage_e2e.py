@@ -332,3 +332,30 @@ def test_big_path_packed_shuffle_and_spill_parity(spark, monkeypatch, tmp_path):
         assert pb == ps and pb
     finally:
         spark.conf.unset("spark.fast_er.spillDir")
+
+
+def test_transform_ksi_createdataframe_fallback(spark, monkeypatch):
+    """Past _KSI_LITERAL_MAX admitted patterns, transform's ksi lookup frame
+    switches from the literal-expression form to createDataFrame (wide
+    comparisons would otherwise bloat the driver plan with one expression
+    node per pattern — round-4 advice). Both paths must produce identical
+    matched pairs and posteriors."""
+    import fast_er_spark.linkage as L
+    from fast_er_spark.linkage import Comparison, Estimation, Linkage
+
+    rows_a, rows_b, df_a, df_b = _people_dfs(spark, n=40)
+    comp = Comparison(
+        df_a, df_b, FUZZY, FUZZY, EXACT, EXACT, id_a="rid", id_b="rid"
+    ).fit()
+    est = Estimation(len(FUZZY), len(EXACT), comp.counts(), seed=13).fit()
+
+    def run():
+        return {
+            (int(r.Index_A), int(r.Index_B), round(float(r.ksi), 12))
+            for r in Linkage(None, None, comp, est.ksi).transform(0.5).collect()
+        }
+
+    literal = run()
+    monkeypatch.setattr(L, "_KSI_LITERAL_MAX", 0)  # force the fallback
+    fallback = run()
+    assert fallback == literal and literal
