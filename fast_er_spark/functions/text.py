@@ -150,8 +150,9 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 # method): rank profiles of character 1..3-grams, out-of-place distance.
 # Seed corpora below are original sentences written for this repo across
 # several everyday registers (narrative, weather/news, instructions,
-# technology, travel) — deliberately varied so the rank profiles capture
-# function-word and morphology n-grams rather than one story's vocabulary.
+# technology, travel, sport, family/history, health, city, work/economy)
+# — deliberately varied so the rank profiles capture function-word and
+# morphology n-grams rather than one story's vocabulary.
 # For production-grade routing swap in profiles built from thousands of
 # documents per language; the METHOD and kernels are unchanged by that.
 
@@ -172,7 +173,22 @@ NGRAM_SEED_TEXTS = {
         "country you should always keep your passport and tickets in a "
         "safe place where you can find them quickly. reading books every "
         "day is one of the best ways to learn new words and understand "
-        "how other people see the world around them."
+        "how other people see the world around them. "
+        "the team played well in the second half and scored two goals "
+        "before the rain started to fall on the field. runners from many "
+        "countries came to the city for the race and thousands of people "
+        "stood along the streets to cheer for them. his grandmother told "
+        "stories about the old days when the family lived on a farm near "
+        "the river and grew their own food. doctors say that sleeping "
+        "well and walking every day keep the heart strong and the mind "
+        "clear as people grow older. the old bridge in the middle of the "
+        "town was built two hundred years ago and it still carries cars "
+        "and buses across the water. prices for bread and milk went up "
+        "again this year and many families now spend more of their money "
+        "on food than before. the company opened a new office in the "
+        "city and plans to hire fifty workers during the next two years. "
+        "she starts work early in the morning answers letters from "
+        "customers and then meets the rest of the team to plan the day."
     ),
     "de": (
         "der schnelle braune fuchs springt über den faulen hund während "
@@ -190,7 +206,23 @@ NGRAM_SEED_TEXTS = {
         "in ein anderes land reist sollte man den reisepass und die "
         "fahrkarten immer an einem sicheren ort aufbewahren. jeden tag "
         "ein buch zu lesen ist eine der besten möglichkeiten neue wörter "
-        "zu lernen und die welt besser zu verstehen."
+        "zu lernen und die welt besser zu verstehen. "
+        "die mannschaft spielte in der zweiten halbzeit gut und schoss "
+        "zwei tore bevor der regen auf das feld fiel. läufer aus vielen "
+        "ländern kamen zum rennen in die stadt und tausende menschen "
+        "standen an den straßen und jubelten ihnen zu. seine großmutter "
+        "erzählte geschichten aus alten zeiten als die familie auf einem "
+        "bauernhof am fluss lebte und ihr eigenes essen anbaute. ärzte "
+        "sagen dass guter schlaf und tägliche spaziergänge das herz stark "
+        "und den kopf klar halten wenn die menschen älter werden. die "
+        "alte brücke in der mitte der stadt wurde vor zweihundert jahren "
+        "gebaut und trägt noch heute autos und busse über das wasser. die "
+        "preise für brot und milch sind in diesem jahr wieder gestiegen "
+        "und viele familien geben mehr geld für essen aus als früher. "
+        "die firma eröffnete ein neues büro in der stadt und will in den "
+        "nächsten zwei jahren fünfzig mitarbeiter einstellen. sie beginnt "
+        "früh am morgen mit der arbeit beantwortet briefe von kunden und "
+        "trifft dann das team um den tag zu planen."
     ),
     "fr": (
         "le rapide renard brun saute par dessus le chien paresseux pendant "
@@ -209,7 +241,24 @@ NGRAM_SEED_TEXTS = {
         "signalés ces derniers mois. quand on voyage dans un autre pays "
         "il faut toujours garder son passeport et ses billets dans un "
         "endroit sûr. lire des livres chaque jour est l'un des meilleurs "
-        "moyens d'apprendre de nouveaux mots et de comprendre le monde."
+        "moyens d'apprendre de nouveaux mots et de comprendre le monde. "
+        "l'équipe a bien joué en seconde période et a marqué deux buts "
+        "avant que la pluie ne tombe sur le terrain. des coureurs de "
+        "nombreux pays sont venus dans la ville pour la course et des "
+        "milliers de personnes les encourageaient le long des rues. sa "
+        "grand mère racontait des histoires du temps où la famille vivait "
+        "dans une ferme près de la rivière et cultivait sa propre "
+        "nourriture. les médecins disent que bien dormir et marcher "
+        "chaque jour gardent le cœur fort et l'esprit clair quand on "
+        "vieillit. le vieux pont au milieu de la ville a été construit il "
+        "y a deux cents ans et il porte encore les voitures et les bus au "
+        "dessus de l'eau. les prix du pain et du lait ont encore augmenté "
+        "cette année et beaucoup de familles dépensent plus d'argent pour "
+        "la nourriture qu'avant. l'entreprise a ouvert un nouveau bureau "
+        "dans la ville et compte embaucher cinquante personnes dans les "
+        "deux prochaines années. elle commence à travailler tôt le matin "
+        "répond aux lettres des clients puis rencontre le reste de "
+        "l'équipe pour organiser la journée."
     ),
     "es": (
         "el rápido zorro marrón salta sobre el perro perezoso mientras los "
@@ -227,7 +276,24 @@ NGRAM_SEED_TEXTS = {
         "meses. cuando viajas a otro país siempre debes guardar el "
         "pasaporte y los billetes en un lugar seguro donde puedas "
         "encontrarlos. leer libros todos los días es una de las mejores "
-        "maneras de aprender palabras nuevas y entender el mundo."
+        "maneras de aprender palabras nuevas y entender el mundo. "
+        "el equipo jugó bien en la segunda parte y marcó dos goles antes "
+        "de que la lluvia cayera sobre el campo. corredores de muchos "
+        "países llegaron a la ciudad para la carrera y miles de personas "
+        "los animaban a lo largo de las calles. su abuela contaba "
+        "historias de los viejos tiempos cuando la familia vivía en una "
+        "granja junto al río y cultivaba su propia comida. los médicos "
+        "dicen que dormir bien y caminar cada día mantienen el corazón "
+        "fuerte y la mente clara cuando la gente envejece. el viejo "
+        "puente en el centro de la ciudad fue construido hace doscientos "
+        "años y todavía lleva coches y autobuses sobre el agua. los "
+        "precios del pan y de la leche subieron otra vez este año y "
+        "muchas familias gastan ahora más dinero en comida que antes. la "
+        "empresa abrió una nueva oficina en la ciudad y piensa contratar "
+        "a cincuenta trabajadores durante los próximos dos años. ella "
+        "empieza a trabajar temprano por la mañana responde las cartas de "
+        "los clientes y luego se reúne con el resto del equipo para "
+        "planear el día."
     ),
     "it": (
         "la veloce volpe marrone salta sopra il cane pigro mentre i "
@@ -245,7 +311,23 @@ NGRAM_SEED_TEXTS = {
         "quando si viaggia in un altro paese bisogna sempre tenere il "
         "passaporto e i biglietti in un posto sicuro. leggere libri ogni "
         "giorno è uno dei modi migliori per imparare parole nuove e "
-        "capire il mondo intorno a noi."
+        "capire il mondo intorno a noi. "
+        "la squadra ha giocato bene nel secondo tempo e ha segnato due "
+        "gol prima che la pioggia cadesse sul campo. corridori da molti "
+        "paesi sono venuti in città per la gara e migliaia di persone li "
+        "incoraggiavano lungo le strade. sua nonna raccontava storie dei "
+        "vecchi tempi quando la famiglia viveva in una fattoria vicino al "
+        "fiume e coltivava il proprio cibo. i medici dicono che dormire "
+        "bene e camminare ogni giorno mantengono il cuore forte e la "
+        "mente chiara quando si invecchia. il vecchio ponte nel centro "
+        "della città fu costruito duecento anni fa e porta ancora le "
+        "macchine e gli autobus sopra l'acqua. i prezzi del pane e del "
+        "latte sono saliti di nuovo quest'anno e molte famiglie spendono "
+        "ora più soldi per il cibo di prima. l'azienda ha aperto un nuovo "
+        "ufficio in città e vuole assumere cinquanta persone nei prossimi "
+        "due anni. lei comincia a lavorare presto la mattina risponde "
+        "alle lettere dei clienti e poi incontra il resto della squadra "
+        "per organizzare la giornata."
     ),
     "pt": (
         "a rápida raposa marrom salta sobre o cão preguiçoso enquanto as "
@@ -263,7 +345,22 @@ NGRAM_SEED_TEXTS = {
         "deve sempre guardar o passaporte e as passagens num lugar "
         "seguro onde possa encontrá los. ler livros todos os dias é uma "
         "das melhores maneiras de aprender palavras novas e entender o "
-        "mundo ao redor."
+        "mundo ao redor. "
+        "o time jogou bem no segundo tempo e marcou dois gols antes que "
+        "a chuva caísse sobre o campo. corredores de muitos países vieram "
+        "à cidade para a corrida e milhares de pessoas os animavam ao "
+        "longo das ruas. sua avó contava histórias dos velhos tempos "
+        "quando a família vivia numa fazenda perto do rio e cultivava a "
+        "própria comida. os médicos dizem que dormir bem e caminhar todos "
+        "os dias mantêm o coração forte e a mente clara quando as pessoas "
+        "envelhecem. a velha ponte no centro da cidade foi construída há "
+        "duzentos anos e ainda leva carros e ônibus por cima da água. os "
+        "preços do pão e do leite subiram outra vez este ano e muitas "
+        "famílias gastam agora mais dinheiro com comida do que antes. a "
+        "empresa abriu um novo escritório na cidade e pretende contratar "
+        "cinquenta trabalhadores nos próximos dois anos. ela começa a "
+        "trabalhar cedo de manhã responde às cartas dos clientes e depois "
+        "se reúne com o resto da equipe para planejar o dia."
     ),
     "nl": (
         "de snelle bruine vos springt over de luie hond terwijl de "
@@ -280,7 +377,23 @@ NGRAM_SEED_TEXTS = {
         "maanden hadden gemeld. wie naar een ander land reist moet zijn "
         "paspoort en kaartjes altijd op een veilige plek bewaren. elke "
         "dag boeken lezen is een van de beste manieren om nieuwe woorden "
-        "te leren en de wereld om je heen te begrijpen."
+        "te leren en de wereld om je heen te begrijpen. "
+        "het elftal speelde goed in de tweede helft en scoorde twee "
+        "doelpunten voordat de regen op het veld begon te vallen. lopers "
+        "uit veel landen kwamen naar de stad voor de wedstrijd en "
+        "duizenden mensen stonden langs de straten te juichen. zijn "
+        "grootmoeder vertelde verhalen over vroeger toen het gezin op een "
+        "boerderij bij de rivier woonde en zijn eigen eten verbouwde. "
+        "artsen zeggen dat goed slapen en elke dag wandelen het hart "
+        "sterk en het hoofd helder houden als mensen ouder worden. de "
+        "oude brug in het midden van de stad werd tweehonderd jaar "
+        "geleden gebouwd en draagt nog steeds auto's en bussen over het "
+        "water. de prijzen van brood en melk zijn dit jaar weer gestegen "
+        "en veel gezinnen geven nu meer geld uit aan eten dan vroeger. "
+        "het bedrijf opende een nieuw kantoor in de stad en wil de "
+        "komende twee jaar vijftig mensen aannemen. ze begint vroeg in de "
+        "ochtend met werken beantwoordt brieven van klanten en overlegt "
+        "daarna met de rest van het team over de dag."
     ),
     "ru": (
         "быстрая коричневая лиса прыгает через ленивую собаку пока дети "
@@ -296,7 +409,22 @@ NGRAM_SEED_TEXTS = {
         "пользователи сообщали в последние месяцы. когда вы едете в "
         "другую страну всегда держите паспорт и билеты в надежном месте. "
         "читать книги каждый день это один из лучших способов выучить "
-        "новые слова и понять мир вокруг нас."
+        "новые слова и понять мир вокруг нас. "
+        "команда хорошо играла во втором тайме и забила два гола прежде "
+        "чем на поле начался дождь. бегуны из многих стран приехали в "
+        "город на соревнование и тысячи людей стояли вдоль улиц и "
+        "поддерживали их. его бабушка рассказывала истории о старых "
+        "временах когда семья жила на ферме у реки и выращивала свою "
+        "еду. врачи говорят что хороший сон и прогулки каждый день "
+        "сохраняют сердце сильным а ум ясным когда люди становятся "
+        "старше. старый мост в центре города был построен двести лет "
+        "назад и по нему до сих пор едут машины и автобусы через реку. "
+        "цены на хлеб и молоко в этом году снова выросли и многие семьи "
+        "теперь тратят на еду больше денег чем раньше. компания открыла "
+        "новый офис в городе и собирается нанять пятьдесят работников в "
+        "ближайшие два года. она начинает работать рано утром отвечает "
+        "на письма клиентов а потом встречается с командой чтобы "
+        "спланировать день."
     ),
     "zh": (
         "敏捷的棕色狐狸跳过了懒惰的狗孩子们在花园里看着。那是最好的时代也是"
@@ -308,6 +436,15 @@ NGRAM_SEED_TEXTS = {
         "并且修复了用户在过去几个月里报告的几个问题。去另一个国家旅行的时候"
         "一定要把护照和车票放在安全的地方以便随时找到。每天读书是学习新词语"
         "和理解周围世界的最好方法之一。"
+        "球队在下半场踢得很好在雨落到场地之前进了两个球。来自许多国家的"
+        "选手来到这座城市参加比赛成千上万的人站在街道两旁为他们加油。"
+        "他的祖母常常讲过去的故事那时候全家住在河边的农场上自己种粮食。"
+        "医生说睡得好并且每天散步能让心脏强壮头脑清醒特别是当人们年纪"
+        "变大的时候。城市中间的老桥建于两百年前现在仍然有汽车和公共汽车"
+        "从水面上通过。今年面包和牛奶的价格又上涨了许多家庭现在花在食物"
+        "上的钱比以前更多。这家公司在城里开设了新的办公室计划在未来两年"
+        "里招收五十名员工。她每天早上很早开始工作回复客户的信件然后和"
+        "团队一起安排一天的计划。"
     ),
     "pl": (
         "szybki brązowy lis przeskakuje nad leniwym psem podczas gdy "
@@ -324,7 +461,22 @@ NGRAM_SEED_TEXTS = {
         "ostatnich miesiącach. kiedy podróżujesz do innego kraju zawsze "
         "trzymaj paszport i bilety w bezpiecznym miejscu. czytanie "
         "książek każdego dnia to jeden z najlepszych sposobów na naukę "
-        "nowych słów i zrozumienie świata wokół nas."
+        "nowych słów i zrozumienie świata wokół nas. "
+        "drużyna grała dobrze w drugiej połowie i strzeliła dwa gole "
+        "zanim na boisko spadł deszcz. biegacze z wielu krajów "
+        "przyjechali do miasta na zawody a tysiące ludzi stało wzdłuż "
+        "ulic i dopingowało ich. jego babcia opowiadała historie o "
+        "dawnych czasach kiedy rodzina mieszkała w gospodarstwie nad "
+        "rzeką i uprawiała własne jedzenie. lekarze mówią że dobry sen i "
+        "codzienny spacer utrzymują serce silne a umysł jasny kiedy "
+        "ludzie się starzeją. stary most w środku miasta zbudowano "
+        "dwieście lat temu i nadal jeżdżą po nim samochody i autobusy "
+        "nad wodą. ceny chleba i mleka znowu wzrosły w tym roku i wiele "
+        "rodzin wydaje teraz na jedzenie więcej pieniędzy niż wcześniej. "
+        "firma otworzyła nowe biuro w mieście i zamierza zatrudnić "
+        "pięćdziesięciu pracowników w ciągu najbliższych dwóch lat. ona "
+        "zaczyna pracę wcześnie rano odpowiada na listy klientów a potem "
+        "spotyka się z resztą zespołu żeby zaplanować dzień."
     ),
     "sv": (
         "den snabba bruna räven hoppar över den lata hunden medan barnen "
@@ -341,7 +493,22 @@ NGRAM_SEED_TEXTS = {
         "senaste månaderna. när man reser till ett annat land bör man "
         "alltid förvara passet och biljetterna på en säker plats. att "
         "läsa böcker varje dag är ett av de bästa sätten att lära sig "
-        "nya ord och förstå världen omkring oss."
+        "nya ord och förstå världen omkring oss. "
+        "laget spelade bra i andra halvlek och gjorde två mål innan "
+        "regnet började falla över planen. löpare från många länder kom "
+        "till staden för loppet och tusentals människor stod längs "
+        "gatorna och hejade på dem. hans mormor berättade historier om "
+        "gamla tider när familjen bodde på en gård vid floden och odlade "
+        "sin egen mat. läkare säger att god sömn och en promenad varje "
+        "dag håller hjärtat starkt och huvudet klart när människor blir "
+        "äldre. den gamla bron mitt i staden byggdes för tvåhundra år "
+        "sedan och bär fortfarande bilar och bussar över vattnet. "
+        "priserna på bröd och mjölk steg igen i år och många familjer "
+        "lägger nu mer pengar på mat än tidigare. företaget öppnade ett "
+        "nytt kontor i staden och planerar att anställa femtio personer "
+        "under de närmaste två åren. hon börjar arbeta tidigt på "
+        "morgonen svarar på brev från kunder och träffar sedan resten av "
+        "laget för att planera dagen."
     ),
     "tr": (
         "hızlı kahverengi tilki tembel köpeğin üzerinden atlarken "
@@ -358,7 +525,21 @@ NGRAM_SEED_TEXTS = {
         "birkaç sorunu düzeltiyor. başka bir ülkeye seyahat ederken "
         "pasaportunuzu ve biletlerinizi her zaman güvenli bir yerde "
         "saklamalısınız. her gün kitap okumak yeni kelimeler öğrenmenin "
-        "ve çevremizdeki dünyayı anlamanın en iyi yollarından biridir."
+        "ve çevremizdeki dünyayı anlamanın en iyi yollarından biridir. "
+        "takım ikinci yarıda iyi oynadı ve yağmur sahaya düşmeden önce "
+        "iki gol attı. birçok ülkeden koşucular yarış için şehre geldi ve "
+        "binlerce insan sokaklar boyunca onları destekledi. büyükannesi "
+        "ailenin nehir kenarındaki çiftlikte yaşadığı ve kendi yiyeceğini "
+        "yetiştirdiği eski günler hakkında hikayeler anlatırdı. doktorlar "
+        "iyi uyumanın ve her gün yürümenin insanlar yaşlandıkça kalbi "
+        "güçlü ve zihni açık tuttuğunu söylüyor. şehrin ortasındaki eski "
+        "köprü iki yüz yıl önce yapıldı ve hala arabaları ve otobüsleri "
+        "suyun üzerinden taşıyor. ekmek ve süt fiyatları bu yıl yine "
+        "arttı ve birçok aile artık yemeğe eskisinden daha fazla para "
+        "harcıyor. şirket şehirde yeni bir ofis açtı ve önümüzdeki iki "
+        "yıl içinde elli kişiyi işe almayı planlıyor. o sabah erkenden "
+        "çalışmaya başlar müşterilerden gelen mektupları yanıtlar ve "
+        "sonra günü planlamak için ekibin geri kalanıyla buluşur."
     ),
     "ja": (
         "すばやい茶色のきつねはなまけものの犬を飛びこえて子どもたちは庭から"
@@ -373,6 +554,17 @@ NGRAM_SEED_TEXTS = {
         "ほかの国へ旅行するときはパスポートと切符をいつも安全な場所に"
         "しまっておくべきです。毎日本を読むことは新しい言葉を覚えて周りの"
         "世界を理解するいちばんよい方法のひとつです。"
+        "チームは後半によい試合をして雨がグラウンドに降り始める前に二つの"
+        "点を取りました。多くの国から走者がこの町のレースに集まり何千人もの"
+        "人が通りに立って応援しました。彼のおばあさんは家族が川の近くの農場"
+        "に住んで自分たちの食べ物を育てていた昔の話をよくしてくれました。"
+        "医者はよく眠って毎日歩くことが年をとっても心臓を強くし頭をはっきり"
+        "させると言います。町の真ん中にある古い橋は二百年前に作られ今でも車"
+        "とバスを水の上に運んでいます。今年もパンと牛乳の値段が上がり多くの"
+        "家族は前よりも食べ物にお金を使うようになりました。その会社は町に"
+        "新しい事務所を開きこれからの二年間で五十人を雇う予定です。彼女は"
+        "朝早くから働き始めお客からの手紙に答えてから一日の計画を立てる"
+        "ためにチームのみんなと会います。"
     ),
 }
 
