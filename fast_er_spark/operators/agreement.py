@@ -26,6 +26,7 @@ band are rare).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pandas as pd
@@ -140,6 +141,14 @@ AUTO_LSH_PAIRS_PER_CORE = 32_000_000
 # cross at 250k pairs/task = 2240 tasks x ~50 ms overhead per fuzzy var).
 PAIRS_PER_PARTITION = 250_000
 PAIRS_PER_PARTITION_JVM = 3_000_000
+# Below this implied pair count the char-multiset mask prefilter is skipped
+# even when enabled: the JVM kernel clears ~1e8 pairs/s on 32 cores, so at
+# <3e7 pairs the whole unpruned pair space costs less than the mask's fixed
+# plan overhead (two non-codegen Java-UDF projections on the value frames
+# plus the popcount filter stage — measured +0.35 s on the 0.5M-pair sf0.1
+# supplier dedup, where TPC-H's near-identical name multisets prune nothing).
+# Break-even at full pruning is ~0.35 s * 1.3e8 pairs/s ~ 4.5e7 pairs.
+MASK_MIN_PAIRS = 30_000_000
 
 
 def default_value_candidates(
@@ -194,7 +203,10 @@ def default_value_candidates(
         # computed ONCE per distinct value here, pre-cross, and rides the
         # cross join as one long per side — the bound filter above the
         # cross then rejects most pairs before the JW kernel ever runs
-        if mask_col is not None:
+        mask_min = int(
+            os.environ.get("FAST_ER_JW_MASK_MIN_PAIRS", MASK_MIN_PAIRS)
+        )
+        if mask_col is not None and na * nb >= mask_min:
             vals_a = vals_a.withColumn("__ma", mask_col(F.col("val_a")))
             vals_b = vals_b.withColumn("__mb", mask_col(F.col("val_b")))
         # broadcast whichever side is SMALLER: the budget bounds na*nb, not
@@ -248,9 +260,9 @@ def scored_value_pairs(
     # At the defaults (p=0.1, lower=0.88): random name pairs share <1 mask
     # bit while the bound demands ~0.7*len matches, so the overwhelming
     # majority of cross-product candidates never reach the kernel.
-    # FAST_ER_JW_MASK=0 disables (A/B escape hatch).
-    import os
-
+    # FAST_ER_JW_MASK=0 disables (A/B escape hatch); below MASK_MIN_PAIRS
+    # implied pairs default_value_candidates skips it anyway (fixed plan
+    # overhead exceeds the whole unpruned kernel cost there).
     mask_coef = 0.0
     if 4 * p < 1:
         mask_coef = 3 * ((lower - 4 * p) / (1 - 4 * p)) - 1

@@ -445,8 +445,35 @@ def test_scored_value_pairs_mask_filter_invariant(spark, jvm, monkeypatch):
         }
 
     monkeypatch.setenv("FAST_ER_JW_MASK", "1")
+    # force past the small-pair volume gate (MASK_MIN_PAIRS) so the filter
+    # actually runs on this ~62k-pair fixture
+    monkeypatch.setenv("FAST_ER_JW_MASK_MIN_PAIRS", "0")
     on_jvm, on_py = run("jvm"), run("python")
     monkeypatch.setenv("FAST_ER_JW_MASK", "0")
     off = run("jvm")
     assert on_jvm == off and on_py == off
     assert off  # non-degenerate fixture
+
+
+def test_char_mask_volume_gate(spark, jvm, monkeypatch):
+    """The mask prefilter only enters the plan when the implied pair count
+    clears MASK_MIN_PAIRS: at small volumes its fixed plan overhead exceeds
+    the whole unpruned kernel cost (measured +0.35 s on the sf0.1 supplier
+    dedup, PERF.md round 5), so default_value_candidates skips it."""
+    from fast_er_spark.operators.agreement import scored_value_pairs
+
+    va = spark.createDataFrame([(f"nm{i}",) for i in range(40)], "val_a string")
+    vb = spark.createDataFrame([(f"nm{i}",) for i in range(40)], "val_b string")
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    monkeypatch.setenv("FAST_ER_JW_MASK", "1")
+    monkeypatch.delenv("FAST_ER_JW_MASK_MIN_PAIRS", raising=False)
+    # 1,600 implied pairs < MASK_MIN_PAIRS: gate skips the mask
+    gated = scored_value_pairs(va, vb, 0.1, 0.88, 0.94, engine="jvm")
+    assert "__ma" not in plan(gated)
+    # forcing the threshold to 0 re-enables it on the same frames
+    monkeypatch.setenv("FAST_ER_JW_MASK_MIN_PAIRS", "0")
+    forced = scored_value_pairs(va, vb, 0.1, 0.88, 0.94, engine="jvm")
+    assert "__ma" in plan(forced)
