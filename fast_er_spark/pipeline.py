@@ -173,13 +173,21 @@ class DedupPipeline:
         except Exception:
             pass  # cleanup is best-effort; never fail the pipeline for it
 
+    def _metrics_row(self, stage: str, rows_out: int, wall_ms: int) -> DataFrame:
+        """One metrics row as a LITERAL-expression frame — createDataFrame
+        of a 1-row list plans a single-task Python-RDD job (~1-2 s of fixed
+        latency each; PERF.md round 4 "tiny-frame rule"), and a pipeline run
+        writes several of these."""
+        return self.spark.range(1).select(
+            F.lit(stage).alias("stage"),
+            F.lit(self.fp).alias("config_fp"),
+            F.lit(int(rows_out)).cast("long").alias("rows_out"),
+            F.lit(int(wall_ms)).cast("long").alias("wall_ms"),
+        )
+
     def _record_metrics(self, stage: str, df: DataFrame, rows: int, wall_ms: int) -> None:
         """Per-stage metrics + per-partition lineage (north_rule)."""
-        meta = self.spark.createDataFrame(
-            [(stage, self.fp, rows, wall_ms)],
-            "stage string, config_fp string, rows_out long, wall_ms long",
-        )
-        self.catalog.append(meta, "_metrics")
+        self.catalog.append(self._metrics_row(stage, rows, wall_ms), "_metrics")
         part = (
             df.withColumn("part_id", F.spark_partition_id())
             .groupBy("part_id")
@@ -192,11 +200,7 @@ class DedupPipeline:
     def _record_counter(self, name: str, value: int) -> None:
         """Append a named counter to the metrics table (rows_out carries the
         value; wall_ms 0 — counters are facts, not stages)."""
-        meta = self.spark.createDataFrame(
-            [(name, self.fp, int(value), 0)],
-            "stage string, config_fp string, rows_out long, wall_ms long",
-        )
-        self.catalog.append(meta, "_metrics")
+        self.catalog.append(self._metrics_row(name, value, 0), "_metrics")
 
     def metrics(self) -> DataFrame:
         return self.catalog.read("_metrics")
