@@ -66,6 +66,20 @@ DEDUP_QUERIES = {"minhash_lsh_dedup", "cc_clusters", "token_jaccard_pairs",
                  "exact_dedup_pairs", "substring_anchor_pairs"}
 
 
+def _steal_ticks() -> int | None:
+    """Hypervisor CPU-steal ticks (field 9 of the aggregate cpu line,
+    USER_HZ=100). This VM takes steal bursts of 50-650 s during minute-long
+    jobs (PERF.md "Measurement protocol"); recording steal alongside each
+    timing lets a reader discount polluted rows instead of reading them as
+    plan regressions."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -138,7 +152,9 @@ def main() -> None:
     emb_clustered = spark.read.parquet(_emb_dir).localCheckpoint(eager=True)
     emb_clustered.count()
 
+    steal_q: dict[str, float] = {}
     for name in HEADLINE:
+        st0 = _steal_ticks()
         t0 = time.perf_counter()
         if name == "minhash_lsh_dedup":
             # checkpoint the verified pairs: cc_clusters consumes this stage
@@ -165,6 +181,9 @@ def main() -> None:
             plans[name] = formatted_plan(df)
             df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
+        st1 = _steal_ticks()
+        if st0 is not None and st1 is not None:
+            steal_q[name] = round((st1 - st0) / 100.0, 1)
         timings[name] = round(dt, 3)
         if name in DEDUP_QUERIES:
             dedup_wall += dt
@@ -174,7 +193,8 @@ def main() -> None:
         f.write("# Physical-plan snapshot (regenerated by bench.py — diffable)\n")
         f.write(f"\nsf_dir={sf_dir} cpus={cpus}\n")
         for name in HEADLINE:
-            f.write(f"\n## {name} ({timings[name]} s)\n\n```\n{plans[name]}\n```\n")
+            st = f", steal {steal_q[name]} s" if name in steal_q else ""
+            f.write(f"\n## {name} ({timings[name]} s{st})\n\n```\n{plans[name]}\n```\n")
 
     total = round(sum(timings.values()), 3)
     # like-for-like vs rounds 1-2: the 16 queries that existed before
@@ -198,6 +218,9 @@ def main() -> None:
         "docs_per_sec": round(n_docs / dedup_wall, 1) if dedup_wall else None,
         "dedup_wall_sec": round(dedup_wall, 3),
     }
+    if steal_q:
+        out["steal_sec_total"] = round(sum(steal_q.values()), 1)
+        out["steal_sec_per_query"] = steal_q
     spark.stop()
     print(json.dumps(out))
 
