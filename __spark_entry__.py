@@ -33,6 +33,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _lit_rows(spark: SparkSession, rows, cols: list[tuple[str, str]]) -> DataFrame:
+    """Driver-sized rows as a LITERAL-expression frame (tiny-frame rule,
+    PERF.md round 4): createDataFrame(list) plans a Python-RDD scan whose
+    first use in a session pays worker-fork + applySchemaToPythonRDD
+    first-use cost (~1 s) and a single-task job every time. These frames
+    are a handful of rows computed on the driver (EM posteriors, threshold
+    sweeps, complement counts), so an exploded literal array is JVM-only
+    and free. cols = [(name, spark_type), ...]."""
+    return spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        *[
+                            F.lit(v).cast(t).alias(c)
+                            for v, (c, t) in zip(row, cols)
+                        ]
+                    )
+                    for row in rows
+                ]
+            )
+        ).alias("r")
+    ).select(*[F.col(f"r.{c}") for c, _ in cols])
+
+
 # ---------------------------------------------------------------- flagship
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: verified near-duplicate pairs on sf0.001 documents."""
@@ -170,7 +195,9 @@ def q_fs_pattern_counts(spark, sf_dir):
     # would otherwise each execute the full pattern DAG
     nonzero = observed.where(F.col("pattern_id") != 0).localCheckpoint(eager=False)
     s = nonzero.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
-    comp = spark.createDataFrame([(0, total - int(s))], "pattern_id long, cnt long")
+    comp = _lit_rows(
+        spark, [(0, total - int(s))], [("pattern_id", "long"), ("cnt", "long")]
+    )
     return nonzero.select(F.col("pattern_id").cast("long"), F.col("cnt").cast("long")).unionByName(
         comp
     )
@@ -204,7 +231,7 @@ def q_fs_posteriors(spark, sf_dir):
         counts[pid] = c
     est = Estimation(0, 2, counts, seed=13).fit()
     rows = [(int(i), float(round(v, 6))) for i, v in enumerate(est.ksi)]
-    return spark.createDataFrame(rows, "pattern_id long, ksi double")
+    return _lit_rows(spark, rows, [("pattern_id", "long"), ("ksi", "double")])
 
 
 def q_linkage_transform(spark, sf_dir):
@@ -538,7 +565,9 @@ def q_fs_threshold_metrics(spark, sf_dir):
          float(np.nan_to_num(ev.fnr(t), nan=-1.0)))
         for t in np.linspace(0.0, 1.0, 21)
     ]
-    return spark.createDataFrame(rows, "threshold double, fdr double, fnr double")
+    return _lit_rows(
+        spark, rows, [("threshold", "double"), ("fdr", "double"), ("fnr", "double")]
+    )
 
 
 def q_simhash_near_pairs(spark, sf_dir):
