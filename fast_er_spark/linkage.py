@@ -442,9 +442,23 @@ class Comparison:
         assembly. Positional row counts are free; the natural-key path pays
         two count jobs once (cached — trivial next to the fit itself)."""
         if getattr(self, "_big_cached", None) is None:
-            na = self._n_a if self._n_a is not None else self.df_a.count()
-            nb = self._n_b if self._n_b is not None else self.df_b.count()
-            self._big_cached = na * nb >= _SPILL_PAIR_SPACE
+            if self._n_a is None or self._n_b is None:
+                # natural-key path: pay the two count jobs ONCE, overlapped,
+                # and BACKFILL _n_a/_n_b so counts()'s complement reuses them
+                # (four serial count jobs measured +0.25 s per fit at bench
+                # scale). Safe to backfill: the packed-key gates additionally
+                # require id_a/id_b/id_col is None (positional ids), so a
+                # row COUNT can never be mistaken for an id BOUND here.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(2) as ex:
+                    fa = ex.submit(self.df_a.count) if self._n_a is None else None
+                    fb = ex.submit(self.df_b.count) if self._n_b is None else None
+                    if fa is not None:
+                        self._n_a = fa.result()
+                    if fb is not None:
+                        self._n_b = fb.result()
+            self._big_cached = self._n_a * self._n_b >= _SPILL_PAIR_SPACE
         return self._big_cached
 
     def fit(
@@ -787,8 +801,12 @@ class Deduplication:
 
     def _big(self) -> bool:
         if getattr(self, "_big_cached", None) is None:
-            n = self._n if self._n is not None else self.df.count()
-            self._big_cached = n * (n - 1) // 2 >= _SPILL_PAIR_SPACE
+            if self._n is None:
+                # natural-key path: count once and backfill so counts()'s
+                # complement reuses it (see Comparison._big for the safety
+                # argument — the packed-key gate requires id_col is None)
+                self._n = self.df.count()
+            self._big_cached = self._n * (self._n - 1) // 2 >= _SPILL_PAIR_SPACE
         return self._big_cached
 
     def fit(
