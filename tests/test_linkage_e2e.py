@@ -359,3 +359,38 @@ def test_transform_ksi_createdataframe_fallback(spark, monkeypatch):
     monkeypatch.setattr(L, "_KSI_LITERAL_MAX", 0)  # force the fallback
     fallback = run()
     assert fallback == literal and literal
+
+
+def test_natural_key_row_counts_cached(spark, monkeypatch):
+    """On the natural-key path _big() backfills _n_a/_n_b/_n so the
+    counts() complement reuses them: each side pays exactly ONE
+    DataFrame.count() per fit+counts (it used to pay two — one in the
+    size gate, one in the complement)."""
+    import numpy as np
+
+    from fast_er_spark.linkage import Comparison, Deduplication
+
+    rows_a, rows_b, df_a, df_b = _people_dfs(spark, n=30)
+    DataFrame = type(df_a)  # the concrete class (pyspark.sql.classic in 4.x)
+    comp = Comparison(
+        df_a, df_b, FUZZY, FUZZY, EXACT, EXACT, id_a="rid", id_b="rid"
+    )
+    calls = []
+    orig = DataFrame.count
+    monkeypatch.setattr(DataFrame, "count", lambda self: calls.append(1) or orig(self))
+    c1 = comp.fit().counts()
+    monkeypatch.setattr(DataFrame, "count", orig)
+    assert comp._n_a == len(rows_a) and comp._n_b == len(rows_b)
+    assert len(calls) == 2  # one per side, gate + complement share it
+    # cached totals must produce the same complement as a fresh fit
+    comp2 = Comparison(
+        df_a, df_b, FUZZY, FUZZY, EXACT, EXACT, id_a="rid", id_b="rid"
+    ).fit()
+    np.testing.assert_array_equal(c1, comp2.counts())
+
+    dd = Deduplication(df_a, FUZZY, EXACT, id_col="rid")
+    calls.clear()
+    monkeypatch.setattr(DataFrame, "count", lambda self: calls.append(1) or orig(self))
+    dd.fit().counts()
+    monkeypatch.setattr(DataFrame, "count", orig)
+    assert dd._n == len(rows_a) and len(calls) == 1
