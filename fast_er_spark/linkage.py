@@ -23,6 +23,7 @@ replaced by one (id_a, id_b, pattern_id) DataFrame.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 import uuid
@@ -39,6 +40,8 @@ from .operators.agreement import (
     exact_levels_linkage,
     fuzzy_levels_dedup,
     fuzzy_levels_linkage,
+    fuzzy_value_parts_linkage,
+    join_back_linkage,
     pattern_counts,
 )
 from .patterns import counts_with_complement, n_patterns, strides
@@ -282,6 +285,7 @@ def _sparse_fuzzy_union(
     pack: bool,
     prepartition: bool = False,
     pack_bits: tuple[int, int, int] | None = None,
+    multi_only: bool = False,
 ) -> DataFrame:
     """union + groupBy of per-variable level frames -> (id_a, id_b, __fz).
 
@@ -299,7 +303,17 @@ def _sparse_fuzzy_union(
     slots (one variable each; duplicate same-variable edges impossible),
     so summing the masked low bits reassembles the fuzzy pattern exactly
     as the unpacked path does. Fallback ``pack=True`` (ids < 2^31 but the
-    single-long layout doesn't fit) keeps the two-field packed key."""
+    single-long layout doesn't fit) keeps the two-field packed key.
+
+    ``multi_only=True`` (the analytic-singles engine): also count each
+    pair's edges and keep only pairs with >= 2 agreeing fuzzy variables
+    (duplicate same-variable edges are impossible, so the edge count IS
+    the agreeing-variable count). ~95% of pairs at realistic value
+    distributions agree on exactly one variable; dropping them here means
+    the exact-attachment joins, the pattern spill, and the histogram scan
+    all run on the small multi frame only, while the single-agreement
+    histogram is computed analytically at the value level
+    (Comparison._fuzzy_joint_counts) with no pair materialization at all."""
     if pack_bits is not None:
         ba, bb, bc = pack_bits
         contribs = [
@@ -361,30 +375,37 @@ def _sparse_fuzzy_union(
             u = u.repartition(sp, F.shiftrightunsigned(F.col("__e"), pack_bits[2]))
         else:
             u = u.repartition(sp, *(["__k"] if pack else ["id_a", "id_b"]))
+    multi = [F.count(F.lit(1)).alias("__n")] if multi_only else []
     if pack_bits is not None:
         ba, bb, bc = pack_bits
-        return (
-            u.groupBy(F.shiftrightunsigned(F.col("__e"), bc).alias("__k"))
-            .agg(
-                F.sum(F.col("__e").bitwiseAND(F.lit((1 << bc) - 1))).alias("__fz")
-            )
-            .select(
-                F.shiftrightunsigned(F.col("__k"), bb).alias("id_a"),
-                F.col("__k").bitwiseAND(F.lit((1 << bb) - 1)).alias("id_b"),
-                "__fz",
-            )
+        g = u.groupBy(F.shiftrightunsigned(F.col("__e"), bc).alias("__k")).agg(
+            F.sum(F.col("__e").bitwiseAND(F.lit((1 << bc) - 1))).alias("__fz"),
+            *multi,
+        )
+        if multi_only:
+            g = g.where(F.col("__n") >= 2)
+        return g.select(
+            F.shiftrightunsigned(F.col("__k"), bb).alias("id_a"),
+            F.col("__k").bitwiseAND(F.lit((1 << bb) - 1)).alias("id_b"),
+            "__fz",
         )
     if pack:
-        return (
-            u.groupBy("__k")
-            .agg(F.sum("contrib").cast("long").alias("__fz"))
-            .select(
-                F.shiftrightunsigned(F.col("__k"), 32).cast("long").alias("id_a"),
-                F.col("__k").bitwiseAND(F.lit((1 << 32) - 1)).cast("long").alias("id_b"),
-                "__fz",
-            )
+        g = u.groupBy("__k").agg(
+            F.sum("contrib").cast("long").alias("__fz"), *multi
         )
-    return u.groupBy("id_a", "id_b").agg(F.sum("contrib").cast("long").alias("__fz"))
+        if multi_only:
+            g = g.where(F.col("__n") >= 2)
+        return g.select(
+            F.shiftrightunsigned(F.col("__k"), 32).cast("long").alias("id_a"),
+            F.col("__k").bitwiseAND(F.lit((1 << 32) - 1)).cast("long").alias("id_b"),
+            "__fz",
+        )
+    g = u.groupBy("id_a", "id_b").agg(
+        F.sum("contrib").cast("long").alias("__fz"), *multi
+    )
+    if multi_only:
+        g = g.where(F.col("__n") >= 2).drop("__n")
+    return g
 
 
 class Comparison:
@@ -436,6 +457,26 @@ class Comparison:
         self._sparse_materialized = False
         self._pack_bits = None
         self._ab: tuple[DataFrame, DataFrame] | None = None
+        # analytic-singles engine state (see _analytic/_fit_sparse)
+        self._parts: list[tuple[DataFrame, DataFrame, DataFrame]] | None = None
+        self._multi: DataFrame | None = None
+        self._multi_materialized = False
+
+    def _analytic(self) -> bool:
+        """Analytic-singles counts engine gate. 'auto' (default): on for
+        BIG pair spaces, where single-agreement pairs dominate the
+        assembly shuffle and their analytical treatment removes the
+        materialized pattern frame entirely; small fits keep the one
+        union+groupBy plan (the extra value-cube jobs would cost more
+        scheduling than they save). '1'/'force' = always (parity tests),
+        '0' = never. Blocked comparisons always use the classic engine
+        (the value-level collapse would need per-block value histograms)."""
+        mode = os.environ.get("FAST_ER_ANALYTIC_SINGLES", "auto")
+        if mode == "0" or self.blocking_a is not None or self.k_fuzzy < 1:
+            return False
+        if mode in ("1", "force"):
+            return True
+        return self._big()
 
     def _big(self) -> bool:
         """Pair space >= _SPILL_PAIR_SPACE -> parquet spill + pre-partitioned
@@ -505,19 +546,32 @@ class Comparison:
                 fb = ex.submit(_batched_distinct_counts, b, self.vars_fuzzy_b)
                 da, db = fa.result(), fb.result()
             sizes_ab = list(zip(da, db))
+        sparse_path = exact_sparse and self.k_fuzzy >= 1 and 1 <= self.k_exact <= 8
+        analytic = sparse_path and self._analytic()
         fuzzy_frames = []
+        parts = []
         for i, (ca, cb) in enumerate(zip(self.vars_fuzzy_a, self.vars_fuzzy_b)):
-            fuzzy_frames.append(
-                fuzzy_levels_linkage(
-                    a, b, ca, cb, "id_a", "id_b", p, lower_thr, upper_thr,
-                    candidates, block=blk,
-                    sizes=sizes_ab[i] if sizes_ab else None,
-                )
+            matched, rows_a, rows_b = fuzzy_value_parts_linkage(
+                a, b, ca, cb, "id_a", "id_b", p, lower_thr, upper_thr,
+                candidates, block=blk,
+                sizes=sizes_ab[i] if sizes_ab else None,
             )
+            if analytic:
+                # the value-pair frame feeds BOTH the assembly join-back
+                # and the analytic joint-counts job, which run concurrently
+                # in counts(): persist so the JW scoring runs once (the
+                # frame is distinct value pairs — orders of magnitude
+                # smaller than the pair frame it implies)
+                matched = matched.persist()
+            parts.append((matched, rows_a, rows_b))
+            fuzzy_frames.append(
+                join_back_linkage(matched, rows_a, rows_b, "id_a", "id_b", blk)
+            )
+        self._parts = parts if analytic else None
         # sparse-engine guard: the analytical exact counts CUBE expands 2^k
         # combination rows per input row — past ~8 exact variables the dense
         # path's single union+groupBy is the better plan
-        if exact_sparse and self.k_fuzzy >= 1 and 1 <= self.k_exact <= 8:
+        if sparse_path:
             self._fit_sparse(a, b, fuzzy_frames)
             return self
         frames = list(fuzzy_frames)
@@ -549,21 +603,21 @@ class Comparison:
             fuzzy_frames, st, self.k_fuzzy, pack,
             prepartition=self._big(), pack_bits=self._pack_bits and self._pack_bits[0],
         )
-        # exact agreement is a per-pair LOOKUP on the (small-per-pair) sparse
-        # frame — two equi-joins per exact variable against the id->value
-        # projections, never a pair-materializing self-join
-        exact_expr = F.lit(0).cast("long")
-        for idx, (ca, cb) in enumerate(zip(self.vars_exact_a, self.vars_exact_b)):
-            s = st[self.k_fuzzy + idx]
-            va = a.select("id_a", F.col(ca).cast("string").alias(f"__ea{idx}"))
-            vb = b.select("id_b", F.col(cb).cast("string").alias(f"__eb{idx}"))
-            sparse = sparse.join(va, "id_a").join(vb, "id_b")
-            exact_expr = exact_expr + F.when(
-                F.col(f"__ea{idx}") == F.col(f"__eb{idx}"), F.lit(s).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        sparse = sparse.select(
-            "id_a", "id_b", (F.col("__fz") + exact_expr).alias("pattern_id")
-        )
+        sparse = self._attach_exact(sparse, a, b, st)
+        if self._parts is not None:
+            # analytic-singles engine: the multi-agreement frame (>= 2 fuzzy
+            # agreements) is the ONLY pair frame counts()/transform()
+            # materialize; single-agreement patterns are counted at the
+            # value level and regenerated per-pattern on demand
+            self._multi = self._attach_exact(
+                _sparse_fuzzy_union(
+                    fuzzy_frames, st, self.k_fuzzy, pack,
+                    prepartition=self._big(),
+                    pack_bits=self._pack_bits and self._pack_bits[0],
+                    multi_only=True,
+                ),
+                a, b, st,
+            )
         # stays LAZY here; the first consumer (_ensure_sparse) materializes
         # it ONCE — parquet spill for big pair spaces, persist() for small
         # (NOT localCheckpoint: under AQE even a lazy localCheckpoint
@@ -574,6 +628,23 @@ class Comparison:
         # pairs. Heavy only if somebody materializes ALL patterns — counts()
         # and transform() never do.
         self.patterns = self._sparse.unionByName(self._exact_only_patterns())
+
+    def _attach_exact(self, frame: DataFrame, a: DataFrame, b: DataFrame, st) -> DataFrame:
+        """exact agreement is a per-pair LOOKUP on the (small-per-pair)
+        pair frame — two equi-joins per exact variable against the
+        id->value projections, never a pair-materializing self-join."""
+        exact_expr = F.lit(0).cast("long")
+        for idx, (ca, cb) in enumerate(zip(self.vars_exact_a, self.vars_exact_b)):
+            s = st[self.k_fuzzy + idx]
+            va = a.select("id_a", F.col(ca).cast("string").alias(f"__ea{idx}"))
+            vb = b.select("id_b", F.col(cb).cast("string").alias(f"__eb{idx}"))
+            frame = frame.join(va, "id_a").join(vb, "id_b")
+            exact_expr = exact_expr + F.when(
+                F.col(f"__ea{idx}") == F.col(f"__eb{idx}"), F.lit(s).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return frame.select(
+            "id_a", "id_b", (F.col("__fz") + exact_expr).alias("pattern_id")
+        )
 
     def _ensure_sparse(self) -> DataFrame:
         """Materialize the sparse pattern frame on first consumption and
@@ -586,6 +657,140 @@ class Comparison:
             self._sparse_materialized = True
             self.patterns = self._sparse.unionByName(self._exact_only_patterns())
         return self._sparse
+
+    def _ensure_multi(self) -> DataFrame:
+        """Materialize the multi-agreement (>= 2 fuzzy) pair frame on first
+        consumption — the analytic-singles engine's ONLY materialized pair
+        frame (orders of magnitude smaller than the full sparse frame)."""
+        if not self._multi_materialized:
+            self._multi = _materialize_pairs(
+                self._multi, self._big(),
+                pack_bits=self._pack_bits and self._pack_bits[1],
+            )
+            self._multi_materialized = True
+        return self._multi
+
+    def _fuzzy_joint_counts(self) -> dict[tuple[int, int, int], int]:
+        """{(var_idx, level, exact_pattern): N} where N counts ALL pairs
+        with fuzzy variable var_idx at exactly `level`, exact agreement
+        vector exactly `exact_pattern`, and ANY levels on the other fuzzy
+        variables — computed WITHOUT pair materialization.
+
+        The multiplicity collapse: a scored value pair (va, vb, level)
+        implies nA(va, x) * nB(vb, x) row pairs per joint exact-value
+        combination x, so each side aggregates one CUBE over
+        (fuzzy value x exact-variable subsets) — the same single-job CUBE
+        trick as _exact_joint_counts with the fuzzy value as a mandatory
+        grouping column — and the two cubes join THROUGH the value-pair
+        frame. Moebius inversion over exact subsets then yields exact
+        patterns. One Spark job for all fuzzy variables (union + collect)."""
+        a, b = self._ab
+        k = self.k_exact
+        vs = [f"v{j}" for j in range(k)]
+
+        def side_cube(df: DataFrame, fuzzy_col: str, exact_cols, cnt: str) -> DataFrame:
+            f = df.select(
+                F.col(fuzzy_col).cast("string").alias("__val"),
+                *[F.col(c).cast("string").alias(v) for c, v in zip(exact_cols, vs)],
+            ).where(F.col("__val").isNotNull())
+            g = f.cube("__val", *vs).agg(
+                F.count(F.lit(1)).alias(cnt), F.grouping_id().alias("gid")
+            )
+            # __val is the first cube column = most significant grouping bit:
+            # keep only combinations where it is NOT aggregated out. A v_j
+            # inside the subset must be a real value (null never agrees).
+            g = g.where(F.col("gid") < F.lit(1 << k))
+            for j, v in enumerate(vs):
+                in_subset = (
+                    F.shiftright(F.col("gid"), k - 1 - j).bitwiseAND(F.lit(1)) == 0
+                )
+                g = g.where(~in_subset | F.col(v).isNotNull())
+            return g
+
+        frames = []
+        for i in range(self.k_fuzzy):
+            matched = self._parts[i][0]
+            ga = side_cube(a, self.vars_fuzzy_a[i], self.vars_exact_a, "na")
+            gb = side_cube(b, self.vars_fuzzy_b[i], self.vars_exact_b, "nb")
+            j1 = matched.join(ga, F.col("val_a") == ga["__val"])
+            cond = (F.col("val_b") == gb["__val"]) & (ga["gid"] == gb["gid"])
+            for v in vs:
+                cond = cond & ga[v].eqNullSafe(gb[v])
+            j2 = j1.join(gb, cond)
+            frames.append(
+                j2.groupBy(F.col("level"), ga["gid"])
+                .agg(F.sum(ga["na"].cast("long") * gb["nb"].cast("long")).alias("t"))
+                .select(
+                    F.lit(i).alias("var"), F.col("level"),
+                    ga["gid"].alias("gid"), F.col("t"),
+                )
+            )
+        u = frames[0]
+        for f in frames[1:]:
+            u = u.unionByName(f)
+        rows = u.collect()
+        full = (1 << k) - 1
+        n_ge: dict[tuple[int, int], dict[int, int]] = {}
+        for r in rows:
+            key = (int(r["var"]), int(r["level"]))
+            # subset-mask convention matches _exact_joint_counts: exact
+            # variable j <-> bit (k-1-j), i.e. the mask IS the exact part of
+            # the pattern id. gid == full (all v_j aggregated out) is the
+            # S = {} row: total pairs at (var, level) regardless of exacts.
+            n_ge.setdefault(key, {})[full ^ int(r["gid"])] = int(r["t"])
+        out: dict[tuple[int, int, int], int] = {}
+        for (i, lvl), ge in n_ge.items():
+            for e in range(1 << k):
+                total = 0
+                for t in range(1 << k):
+                    if (t & e) == e:  # t is a superset of e
+                        total += (-1) ** (
+                            bin(t).count("1") - bin(e).count("1")
+                        ) * ge.get(t, 0)
+                if total:
+                    out[(i, lvl, e)] = total
+        return out
+
+    def _single_pairs_batch(self, pids: list[int]) -> DataFrame:
+        """(id_a, id_b, pattern_id) for admitted SINGLE-fuzzy-agreement
+        patterns, regenerated on demand: each variable's join-back filtered
+        to the needed levels, minus the multi frame (any pair with a second
+        fuzzy agreement is in it by construction), filtered to the admitted
+        exact parts. Posteriors of single-agreement patterns are ~0 in
+        practice, so this path is rarely exercised — but it makes
+        matched_pairs()/transform() exact under the analytic engine. All
+        patterns of one variable share ONE join-back (a variable's edge
+        frame is the expensive part, not the per-pattern filter)."""
+        st = strides(self.k_fuzzy, self.k_exact)
+        by_var: dict[int, list[tuple[int, int]]] = {}
+        for pid in pids:
+            levels = [(pid // st[i]) % 3 for i in range(self.k_fuzzy)]
+            nz = [i for i, l in enumerate(levels) if l]
+            assert len(nz) == 1, pid
+            by_var.setdefault(nz[0], []).append((levels[nz[0]], pid))
+        multi = self._ensure_multi().select("id_a", "id_b")
+        a, b = self._ab
+        frames = []
+        for i, entries in sorted(by_var.items()):
+            lvls = sorted({l for l, _ in entries})
+            matched, rows_a, rows_b = self._parts[i]
+            edges = join_back_linkage(
+                matched.where(F.col("level").isin([int(x) for x in lvls])),
+                rows_a, rows_b, "id_a", "id_b", False,
+            )
+            cand = edges.join(multi, ["id_a", "id_b"], "left_anti").select(
+                "id_a", "id_b",
+                (F.col("level") * F.lit(int(st[i]))).cast("long").alias("__fz"),
+            )
+            frames.append(
+                self._attach_exact(cand, a, b, st).where(
+                    F.col("pattern_id").isin([int(p) for _, p in entries])
+                )
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def _exact_only_patterns(self) -> DataFrame:
         """(id_a, id_b, pattern_id) for pairs agreeing on >=1 exact variable
@@ -687,11 +892,27 @@ class Comparison:
         pids = [int(x) for x in pids if int(x) != 0]
         if self._sparse is None:
             return self.patterns.where(F.col("pattern_id").isin(pids))
-        self._ensure_sparse()
         min_fuzzy = 2**self.k_exact
         fuzzy_pids = [x for x in pids if x >= min_fuzzy]
         exact_pids = [x for x in pids if x < min_fuzzy]
-        out = self._sparse.where(F.col("pattern_id").isin(fuzzy_pids))
+        if self._parts is not None:
+            # analytic engine: multi-agreement patterns come from the small
+            # materialized multi frame; single-agreement patterns are
+            # regenerated per admitted pattern (rare — their posteriors are
+            # ~0); the full sparse frame is never executed here
+            st = strides(self.k_fuzzy, self.k_exact)
+
+            def n_nonzero(q: int) -> int:
+                return sum(1 for i in range(self.k_fuzzy) if (q // st[i]) % 3)
+
+            multi_pids = [x for x in fuzzy_pids if n_nonzero(x) >= 2]
+            single_pids = [x for x in fuzzy_pids if n_nonzero(x) == 1]
+            out = self._ensure_multi().where(F.col("pattern_id").isin(multi_pids))
+            if single_pids:
+                out = out.unionByName(self._single_pairs_batch(single_pids))
+        else:
+            self._ensure_sparse()
+            out = self._sparse.where(F.col("pattern_id").isin(fuzzy_pids))
         if exact_pids:
             out = out.unionByName(
                 self._exact_only_patterns().where(F.col("pattern_id").isin(exact_pids))
@@ -710,13 +931,46 @@ class Comparison:
             # histogram job instead of serially after it
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(1) as ex:
-                fut_exact = ex.submit(self._exact_joint_counts)
-                observed = {
-                    int(r["pattern_id"]): int(r["cnt"])
-                    for r in pattern_counts(self._ensure_sparse()).collect()
-                }
-                exact_joint = fut_exact.result()
+            if self._parts is not None:
+                # analytic-singles engine: the big job shrinks to the
+                # multi-agreement frame; the single-agreement histogram is
+                # reconstructed from the value-level joint counts minus the
+                # multi frame's marginals (any pair with a second fuzzy
+                # agreement is in the multi frame, so every remaining pair
+                # at (var, level) has zeros elsewhere)
+                st = strides(self.k_fuzzy, self.k_exact)
+                with ThreadPoolExecutor(2) as ex:
+                    fut_exact = ex.submit(self._exact_joint_counts)
+                    fut_fuzzy = ex.submit(self._fuzzy_joint_counts)
+                    m_hist = {
+                        int(r["pattern_id"]): int(r["cnt"])
+                        for r in pattern_counts(self._ensure_multi()).collect()
+                    }
+                    fuzzy_joint = fut_fuzzy.result()
+                    exact_joint = fut_exact.result()
+                observed = dict(m_hist)
+                ek = 1 << self.k_exact
+                m_marg: dict[tuple[int, int, int], int] = {}
+                for q, c in m_hist.items():
+                    e = q % ek
+                    for i in range(self.k_fuzzy):
+                        lvl = (q // st[i]) % 3
+                        if lvl:
+                            key = (i, lvl, e)
+                            m_marg[key] = m_marg.get(key, 0) + c
+                for (i, lvl, e), n in fuzzy_joint.items():
+                    c = n - m_marg.get((i, lvl, e), 0)
+                    if c:
+                        pid = lvl * st[i] + e
+                        observed[pid] = observed.get(pid, 0) + c
+            else:
+                with ThreadPoolExecutor(1) as ex:
+                    fut_exact = ex.submit(self._exact_joint_counts)
+                    observed = {
+                        int(r["pattern_id"]): int(r["cnt"])
+                        for r in pattern_counts(self._ensure_sparse()).collect()
+                    }
+                    exact_joint = fut_exact.result()
             # exact-only patterns: analytical count = (pairs whose exact
             # agreement vector is exactly e, any fuzzy) minus (sparse pairs
             # whose exact bits are e) — no pair materialization

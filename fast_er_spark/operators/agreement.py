@@ -368,6 +368,62 @@ def scored_value_pairs(
     )
 
 
+def fuzzy_value_parts_linkage(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col_a: str,
+    col_b: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    p: float = 0.1,
+    lower: float = 0.88,
+    upper: float = 0.94,
+    candidates=None,
+    block: bool = False,
+    sizes: tuple | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The three frames one fuzzy variable's agreement derives from:
+    ``(matched, rows_a, rows_b)`` where ``matched`` = (val_a, val_b, level>0)
+    over DISTINCT value pairs and rows_* are the (id, value) projections.
+
+    Exposed separately so the analytic-singles counts engine (linkage.py)
+    can consume the value-pair frame directly — joint
+    (fuzzy-level x exact-pattern) counts collapse the nA*nB pair
+    multiplicity at the value level, so single-agreement pairs never need
+    to be materialized. ``fuzzy_levels_linkage`` below is the joined-back
+    per-pair view."""
+    vals_a = df_a.select(F.col(col_a).cast("string").alias("val_a")).where(
+        F.col("val_a").isNotNull()
+    ).distinct()
+    vals_b = df_b.select(F.col(col_b).cast("string").alias("val_b")).where(
+        F.col("val_b").isNotNull()
+    ).distinct()
+    matched = scored_value_pairs(vals_a, vals_b, p, lower, upper, candidates, sizes=sizes)
+    bl = ["__block"] if block else []
+    rows_a = df_a.select(F.col(id_a), F.col(col_a).cast("string").alias("val_a"), *bl)
+    rows_b = df_b.select(F.col(id_b), F.col(col_b).cast("string").alias("val_b"), *bl)
+    return matched, rows_a, rows_b
+
+
+def join_back_linkage(
+    matched: DataFrame,
+    rows_a: DataFrame,
+    rows_b: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    block: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, level) from the parts returned by
+    ``fuzzy_value_parts_linkage`` — two value equi-joins, never a pair
+    cross product (reference indices_inverse, comparison.py:163)."""
+    bl = ["__block"] if block else []
+    return (
+        matched.join(rows_a, "val_a")
+        .join(rows_b, ["val_b", *bl])
+        .select(id_a, id_b, "level")
+    )
+
+
 def fuzzy_levels_linkage(
     df_a: DataFrame,
     df_b: DataFrame,
@@ -389,21 +445,11 @@ def fuzzy_levels_linkage(
     docs/source/usage.rst) — the block key joins the join-back keys, so
     scoring still runs once per distinct value pair.
     """
-    vals_a = df_a.select(F.col(col_a).cast("string").alias("val_a")).where(
-        F.col("val_a").isNotNull()
-    ).distinct()
-    vals_b = df_b.select(F.col(col_b).cast("string").alias("val_b")).where(
-        F.col("val_b").isNotNull()
-    ).distinct()
-    matched = scored_value_pairs(vals_a, vals_b, p, lower, upper, candidates, sizes=sizes)
-    bl = ["__block"] if block else []
-    rows_a = df_a.select(F.col(id_a), F.col(col_a).cast("string").alias("val_a"), *bl)
-    rows_b = df_b.select(F.col(id_b), F.col(col_b).cast("string").alias("val_b"), *bl)
-    return (
-        matched.join(rows_a, "val_a")
-        .join(rows_b, ["val_b", *bl])
-        .select(id_a, id_b, "level")
+    matched, rows_a, rows_b = fuzzy_value_parts_linkage(
+        df_a, df_b, col_a, col_b, id_a, id_b, p, lower, upper,
+        candidates, block, sizes,
     )
+    return join_back_linkage(matched, rows_a, rows_b, id_a, id_b, block)
 
 
 def fuzzy_levels_dedup(
