@@ -686,23 +686,28 @@ class Comparison:
         patterns. One Spark job for all fuzzy variables (union + collect)."""
         a, b = self._ab
         k = self.k_exact
-        vs = [f"v{j}" for j in range(k)]
 
-        def side_cube(df: DataFrame, fuzzy_col: str, exact_cols, cnt: str) -> DataFrame:
+        def side_cube(df: DataFrame, fuzzy_col: str, exact_cols, sfx: str) -> DataFrame:
+            # per-side column SUFFIXES (not DataFrame-attribute references):
+            # self-linkage passes the same frame as both sides, where
+            # attribute-id disambiguation of identical plans is unreliable
+            vs = [f"__v{j}{sfx}" for j in range(k)]
             f = df.select(
-                F.col(fuzzy_col).cast("string").alias("__val"),
+                F.col(fuzzy_col).cast("string").alias(f"__val{sfx}"),
                 *[F.col(c).cast("string").alias(v) for c, v in zip(exact_cols, vs)],
-            ).where(F.col("__val").isNotNull())
-            g = f.cube("__val", *vs).agg(
-                F.count(F.lit(1)).alias(cnt), F.grouping_id().alias("gid")
+            ).where(F.col(f"__val{sfx}").isNotNull())
+            g = f.cube(f"__val{sfx}", *vs).agg(
+                F.count(F.lit(1)).alias(f"__n{sfx}"),
+                F.grouping_id().alias(f"__gid{sfx}"),
             )
             # __val is the first cube column = most significant grouping bit:
             # keep only combinations where it is NOT aggregated out. A v_j
             # inside the subset must be a real value (null never agrees).
-            g = g.where(F.col("gid") < F.lit(1 << k))
+            g = g.where(F.col(f"__gid{sfx}") < F.lit(1 << k))
             for j, v in enumerate(vs):
                 in_subset = (
-                    F.shiftright(F.col("gid"), k - 1 - j).bitwiseAND(F.lit(1)) == 0
+                    F.shiftright(F.col(f"__gid{sfx}"), k - 1 - j).bitwiseAND(F.lit(1))
+                    == 0
                 )
                 g = g.where(~in_subset | F.col(v).isNotNull())
             return g
@@ -710,19 +715,25 @@ class Comparison:
         frames = []
         for i in range(self.k_fuzzy):
             matched = self._parts[i][0]
-            ga = side_cube(a, self.vars_fuzzy_a[i], self.vars_exact_a, "na")
-            gb = side_cube(b, self.vars_fuzzy_b[i], self.vars_exact_b, "nb")
-            j1 = matched.join(ga, F.col("val_a") == ga["__val"])
-            cond = (F.col("val_b") == gb["__val"]) & (ga["gid"] == gb["gid"])
-            for v in vs:
-                cond = cond & ga[v].eqNullSafe(gb[v])
+            ga = side_cube(a, self.vars_fuzzy_a[i], self.vars_exact_a, "a")
+            gb = side_cube(b, self.vars_fuzzy_b[i], self.vars_exact_b, "b")
+            j1 = matched.join(ga, F.col("val_a") == F.col("__vala"))
+            cond = (F.col("val_b") == F.col("__valb")) & (
+                F.col("__gida") == F.col("__gidb")
+            )
+            for j in range(k):
+                cond = cond & F.col(f"__v{j}a").eqNullSafe(F.col(f"__v{j}b"))
             j2 = j1.join(gb, cond)
             frames.append(
-                j2.groupBy(F.col("level"), ga["gid"])
-                .agg(F.sum(ga["na"].cast("long") * gb["nb"].cast("long")).alias("t"))
+                j2.groupBy(F.col("level"), F.col("__gida"))
+                .agg(
+                    F.sum(
+                        F.col("__na").cast("long") * F.col("__nb").cast("long")
+                    ).alias("t")
+                )
                 .select(
                     F.lit(i).alias("var"), F.col("level"),
-                    ga["gid"].alias("gid"), F.col("t"),
+                    F.col("__gida").alias("gid"), F.col("t"),
                 )
             )
         u = frames[0]
