@@ -91,6 +91,35 @@ def test_auto_gate_off_for_small_fits(frames):
     assert comp._parts is None
 
 
+def test_null_values_parity(frames, spark):
+    # nulls in fuzzy columns (excluded from value frames) and exact columns
+    # (null never agrees — in the CUBE, the attachment joins, AND the
+    # Moebius terms) must cancel identically in both engines
+    from pyspark.sql import functions as F
+
+    def poke(df):
+        return df.select(
+            *[
+                F.when(F.xxhash64(F.col(c), F.lit(c)) % 7 == 0, None)
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in ("first_name", "birth_year")
+                else F.col(c)
+                for c in df.columns
+            ]
+        ).localCheckpoint()
+
+    fr = (poke(frames[0]), poke(frames[1]))
+    c0 = _fit(fr, "0")
+    c1 = _fit(fr, "force")
+    h0, h1 = c0.counts(), c1.counts()
+    assert np.array_equal(h0, h1)
+    pids = [int(i) for i in np.nonzero(h0)[0] if i != 0]
+    m0 = sorted(map(tuple, c0.matched_pairs(pids).collect()))
+    m1 = sorted(map(tuple, c1.matched_pairs(pids).collect()))
+    assert m0 == m1
+
+
 def test_natural_key_parity(frames):
     # natural long keys (with gaps, larger than the row count) disable the
     # free row-count packing gate; the analytic engine must still agree
