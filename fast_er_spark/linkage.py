@@ -661,12 +661,17 @@ class Comparison:
     def _ensure_multi(self) -> DataFrame:
         """Materialize the multi-agreement (>= 2 fuzzy) pair frame on first
         consumption — the analytic-singles engine's ONLY materialized pair
-        frame (orders of magnitude smaller than the full sparse frame)."""
+        frame (orders of magnitude smaller than the full sparse frame).
+
+        Always persist() (MEMORY_AND_DISK), never the parquet spill the
+        full-frame engine uses: the multi frame is O(pairs with >= 2 fuzzy
+        agreements), far below the pair-space threshold _big() keys on, and
+        the persist path lets the histogram collect double as the
+        materializing action — one job instead of write-parquet plus a
+        read-back job (each extra job costs ~1-2 s of driver gap on the
+        100k workload's critical path; PERF.md round 5)."""
         if not self._multi_materialized:
-            self._multi = _materialize_pairs(
-                self._multi, self._big(),
-                pack_bits=self._pack_bits and self._pack_bits[1],
-            )
+            self._multi = self._multi.persist()
             self._multi_materialized = True
         return self._multi
 
@@ -950,13 +955,22 @@ class Comparison:
                 # agreement is in the multi frame, so every remaining pair
                 # at (var, level) has zeros elsewhere)
                 st = strides(self.k_fuzzy, self.k_exact)
-                with ThreadPoolExecutor(2) as ex:
-                    fut_exact = ex.submit(self._exact_joint_counts)
-                    fut_fuzzy = ex.submit(self._fuzzy_joint_counts)
-                    m_hist = {
+
+                def m_job():
+                    return {
                         int(r["pattern_id"]): int(r["cnt"])
                         for r in pattern_counts(self._ensure_multi()).collect()
                     }
+
+                # submit the (dominant) multi job FIRST: driver-side plan
+                # compilation is effectively serialized across threads, so
+                # whatever compiles first starts executing first — the cube
+                # jobs then compile while the cluster is already busy
+                with ThreadPoolExecutor(3) as ex:
+                    fut_m = ex.submit(m_job)
+                    fut_exact = ex.submit(self._exact_joint_counts)
+                    fut_fuzzy = ex.submit(self._fuzzy_joint_counts)
+                    m_hist = fut_m.result()
                     fuzzy_joint = fut_fuzzy.result()
                     exact_joint = fut_exact.result()
                 observed = dict(m_hist)
