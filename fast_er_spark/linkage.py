@@ -40,7 +40,9 @@ from .operators.agreement import (
     exact_levels_linkage,
     fuzzy_levels_dedup,
     fuzzy_levels_linkage,
+    fuzzy_value_parts_dedup,
     fuzzy_value_parts_linkage,
+    join_back_dedup,
     join_back_linkage,
     pattern_counts,
 )
@@ -1077,6 +1079,20 @@ class Deduplication:
         self._sparse_materialized = False
         self._pack_bits = None
         self._d: DataFrame | None = None
+        # analytic-singles engine state (see Comparison._analytic)
+        self._parts: list[tuple[DataFrame, DataFrame]] | None = None
+        self._multi: DataFrame | None = None
+        self._multi_materialized = False
+
+    def _analytic(self) -> bool:
+        """Triangular analogue of Comparison._analytic (Deduplication has
+        no blocking mode, so the gate is just mode + pair-space size)."""
+        mode = os.environ.get("FAST_ER_ANALYTIC_SINGLES", "auto")
+        if mode == "0" or self.k_fuzzy < 1:
+            return False
+        if mode in ("1", "force"):
+            return True
+        return self._big()
 
     def _big(self) -> bool:
         if getattr(self, "_big_cached", None) is None:
@@ -1109,16 +1125,24 @@ class Deduplication:
         sizes_d = None
         if self.k_fuzzy and candidates is None:
             sizes_d = _batched_distinct_counts(d, self.vars_fuzzy)
+        sparse_path = exact_sparse and self.k_fuzzy >= 1 and 1 <= self.k_exact <= 8
+        analytic = sparse_path and self._analytic()
         fuzzy_frames = []
+        parts = []
         for i, c in enumerate(self.vars_fuzzy):
-            fuzzy_frames.append(
-                fuzzy_levels_dedup(
-                    d, c, "id", p, lower_thr, upper_thr, candidates,
-                    sizes=(sizes_d[i], sizes_d[i]) if sizes_d else None,
-                )
+            matched, rows = fuzzy_value_parts_dedup(
+                d, c, "id", p, lower_thr, upper_thr, candidates,
+                sizes=(sizes_d[i], sizes_d[i]) if sizes_d else None,
             )
+            if analytic:
+                # shared by the assembly join-back and the analytic joint-
+                # counts job (see Comparison.fit)
+                matched = matched.persist()
+            parts.append((matched, rows))
+            fuzzy_frames.append(join_back_dedup(matched, rows, "id"))
+        self._parts = parts if analytic else None
         # same 2^k CUBE-expansion guard as Comparison.fit
-        if exact_sparse and self.k_fuzzy >= 1 and 1 <= self.k_exact <= 8:
+        if sparse_path:
             self._fit_sparse(d, fuzzy_frames)
             return self
         frames = list(fuzzy_frames)

@@ -452,6 +452,78 @@ def fuzzy_levels_linkage(
     return join_back_linkage(matched, rows_a, rows_b, id_a, id_b, block)
 
 
+def fuzzy_value_parts_dedup(
+    df: DataFrame,
+    col: str,
+    id_col: str = "id",
+    p: float = 0.1,
+    lower: float = 0.88,
+    upper: float = 0.94,
+    candidates=None,
+    block: bool = False,
+    sizes: tuple | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``(matched, rows)`` for one fuzzy dedup variable: ``matched`` =
+    strict (val_a < val_b, level > 0) scored value pairs, ``rows`` = the
+    (id, val[, __block]) projection. Exposed for the analytic-singles
+    engine (same rationale as ``fuzzy_value_parts_linkage``); equal-value
+    row pairs are NOT in ``matched`` — they take the diagonal
+    short-circuit in ``join_back_dedup``."""
+    vals = df.select(F.col(col).cast("string").alias("val_a")).where(
+        F.col("val_a").isNotNull()
+    ).distinct()
+    # different-value candidates: unordered value pairs (val_a < val_b),
+    # each scored exactly once (JW is symmetric)
+    vals_b = vals.select(F.col("val_a").alias("val_b"))
+    matched = scored_value_pairs(
+        vals, vals_b, p, lower, upper, candidates, triangular=True, sizes=sizes
+    )
+    bl = ["__block"] if block else []
+    rows = df.select(F.col(id_col), F.col(col).cast("string").alias("val"), *bl)
+    return matched, rows
+
+
+def join_back_dedup(
+    matched: DataFrame,
+    rows: DataFrame,
+    id_col: str = "id",
+    block: bool = False,
+    levels: list[int] | None = None,
+) -> DataFrame:
+    """(id_a, id_b, level), id_a > id_b, from ``fuzzy_value_parts_dedup``
+    parts. ``levels`` restricts the output (analytic engine's on-demand
+    regeneration): the equal-value diagonal short-circuit contributes only
+    to level 2, so it is skipped when 2 is not requested."""
+    bl = ["__block"] if block else []
+    ra = rows.select(F.col(id_col).alias("ida"), F.col("val").alias("val_a"), *bl)
+    rb = rows.select(F.col(id_col).alias("idb"), F.col("val").alias("val_b"), *bl)
+    if levels is not None:
+        matched = matched.where(F.col("level").isin([int(x) for x in levels]))
+    # canonicalize each row pair as (max, min) like the reference
+    # (deduplication.py:301-310)
+    diff_val = (
+        matched.join(ra, "val_a")
+        .join(rb, ["val_b", *bl])
+        .select(
+            F.greatest("ida", "idb").alias("id_a"),
+            F.least("ida", "idb").alias("id_b"),
+            "level",
+        )
+    )
+    if levels is not None and 2 not in [int(x) for x in levels]:
+        return diff_val
+    # same-value pairs: diagonal short-circuit, level 2
+    join_same = (F.col("val_a") == F.col("val_b")) if not block else (
+        (F.col("val_a") == F.col("val_b")) & (ra["__block"] == rb["__block"])
+    )
+    same_val = (
+        ra.join(rb, join_same)
+        .where(F.col("ida") > F.col("idb"))
+        .select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"), F.lit(2).alias("level"))
+    )
+    return diff_val.unionByName(same_val)
+
+
 def fuzzy_levels_dedup(
     df: DataFrame,
     col: str,
@@ -468,42 +540,10 @@ def fuzzy_levels_dedup(
     Equal-value row pairs take the diagonal short-circuit (level 2);
     distinct-value pairs are scored with JW over the strict value pairs.
     """
-    vals = df.select(F.col(col).cast("string").alias("val_a")).where(
-        F.col("val_a").isNotNull()
-    ).distinct()
-    # different-value candidates: unordered value pairs (val_a < val_b),
-    # each scored exactly once (JW is symmetric)
-    vals_b = vals.select(F.col("val_a").alias("val_b"))
-    matched = scored_value_pairs(
-        vals, vals_b, p, lower, upper, candidates, triangular=True, sizes=sizes
+    matched, rows = fuzzy_value_parts_dedup(
+        df, col, id_col, p, lower, upper, candidates, block, sizes
     )
-
-    bl = ["__block"] if block else []
-    rows = df.select(F.col(id_col), F.col(col).cast("string").alias("val"), *bl)
-    ra = rows.select(F.col(id_col).alias("ida"), F.col("val").alias("val_a"), *bl)
-    rb = rows.select(F.col(id_col).alias("idb"), F.col("val").alias("val_b"), *bl)
-
-    # canonicalize each row pair as (max, min) like the reference
-    # (deduplication.py:301-310)
-    diff_val = (
-        matched.join(ra, "val_a")
-        .join(rb, ["val_b", *bl])
-        .select(
-            F.greatest("ida", "idb").alias("id_a"),
-            F.least("ida", "idb").alias("id_b"),
-            "level",
-        )
-    )
-    # same-value pairs: diagonal short-circuit, level 2
-    join_same = (F.col("val_a") == F.col("val_b")) if not block else (
-        (F.col("val_a") == F.col("val_b")) & (ra["__block"] == rb["__block"])
-    )
-    same_val = (
-        ra.join(rb, join_same)
-        .where(F.col("ida") > F.col("idb"))
-        .select(F.col("ida").alias("id_a"), F.col("idb").alias("id_b"), F.lit(2).alias("level"))
-    )
-    return diff_val.unionByName(same_val)
+    return join_back_dedup(matched, rows, id_col, block)
 
 
 def exact_levels_linkage(
