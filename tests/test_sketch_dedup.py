@@ -89,6 +89,41 @@ def test_connected_components_vs_union_find(spark):
     assert got == want
 
 
+def test_connected_components_engines_agree(spark):
+    """The size-adaptive driver union-find (engine='auto' under the edge cap)
+    must emit exactly the distributed star-fixpoint's assignments — same
+    rows, same min-id components, isolated nodes included."""
+    from fast_er_spark.operators.components import connected_components
+
+    rng = random.Random(11)
+    edges = [(i + 1, i) for i in range(25)]
+    for _ in range(150):
+        a, b = rng.randrange(50, 400), rng.randrange(50, 400)
+        if a != b:
+            edges.append((max(a, b), min(a, b)))
+    nodes = [(n,) for n in range(0, 420)]
+    e_df = spark.createDataFrame(edges, "id_a long, id_b long")
+    n_df = spark.createDataFrame(nodes, "id long")
+    dist = {
+        (int(r.id), int(r.component))
+        for r in connected_components(e_df, nodes=n_df, engine="distributed").collect()
+    }
+    drv = {
+        (int(r.id), int(r.component))
+        for r in connected_components(e_df, nodes=n_df, engine="driver").collect()
+    }
+    auto = {
+        (int(r.id), int(r.component))
+        for r in connected_components(e_df, nodes=n_df).collect()
+    }
+    assert dist == drv == auto
+    # schema parity: downstream casts rely on identical column types
+    assert (
+        connected_components(e_df, nodes=n_df, engine="driver").schema
+        == connected_components(e_df, nodes=n_df, engine="distributed").schema
+    )
+
+
 def test_cluster_assignments_match_oracle(spark, corpus):
     from fast_er_spark.operators.components import connected_components
     from fast_er_spark.operators.lsh import lsh_candidate_pairs
