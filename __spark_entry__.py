@@ -94,8 +94,11 @@ def q_token_jaccard_pairs(spark, sf_dir):
     Arrow pandas hasher otherwise."""
     from fast_er_spark.functions.jvm_sketch import ensure_jvm_udfs, shingle_hashes_jvm
     from fast_er_spark.operators.verify import shingle_hashes
+    from fast_er_spark.partitioning import ensure_min_parallelism
 
-    docs = _t(spark, sf_dir, "documents")
+    # single-file scans plan one task; spread the shingle kernel + explode
+    # across the cores (no-op at corpus scale — see partitioning.py)
+    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents"))
     sh_col = (
         shingle_hashes_jvm("text", NGRAM)
         if ensure_jvm_udfs(spark)
@@ -346,29 +349,37 @@ _LANG_MARKERS = {
 }
 
 
+def _lang_pred_col(spark, text_col):
+    """The marker-language argmax as ONE Column over ``text_col`` — shared
+    by q_lang_id and q_curation_pipeline so the composition can compute the
+    route inline instead of re-scanning documents and joining on doc_id."""
+    from fast_er_spark.functions.jvm_sketch import ensure_jvm_udfs
+    from fast_er_spark.functions.text import lang_marker_counts
+
+    langs = list(_LANG_MARKERS)
+    # both engines lowercase internally (F.lower in the expression path,
+    # Locale.ROOT toLowerCase in the kernel)
+    cnts = lang_marker_counts(text_col, _LANG_MARKERS, jvm=ensure_jvm_udfs(spark))
+    scores = [cnts[i] for i in range(len(langs))]
+    best = F.greatest(*scores)
+    by_lang = dict(zip(langs, scores))
+    pred = F.lit("en")
+    # fixed priority: first language (in sorted key order) reaching the max
+    for lg in reversed(sorted(langs)):
+        pred = F.when(by_lang[lg] == best, F.lit(lg)).otherwise(pred)
+    return pred
+
+
 def q_lang_id(spark, sf_dir):
     """Marker-token language-ID heuristic; argmax with fixed priority order.
     JVM path: ALL languages counted in one tokenization pass
     (jvm/TextUdfs.java::MarkerCounts) vs one interpreted F.filter pass per
     language on the expression fallback — identical counts either way."""
-    from fast_er_spark.functions.jvm_sketch import ensure_jvm_udfs
-    from fast_er_spark.functions.text import lang_marker_counts
-
     docs = _t(spark, sf_dir, "documents")
-    langs = list(_LANG_MARKERS)
-    # both engines lowercase internally (F.lower in the expression path,
-    # Locale.ROOT toLowerCase in the kernel)
-    cnts = lang_marker_counts(F.col("text"), _LANG_MARKERS, jvm=ensure_jvm_udfs(spark))
-    scored = docs.select(
+    return docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        *[cnts[i].alias(f"s_{lg}") for i, lg in enumerate(langs)],
+        _lang_pred_col(spark, F.col("text")).alias("pred_lang"),
     )
-    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
-    pred = F.lit("en")
-    # fixed priority: first language (in sorted key order) reaching the max
-    for lg in reversed(sorted(langs)):
-        pred = F.when(F.col(f"s_{lg}") == best, F.lit(lg)).otherwise(pred)
-    return scored.select("doc_id", pred.alias("pred_lang"))
 
 
 def q_lang_id_ngram(spark, sf_dir):
@@ -708,14 +719,16 @@ def q_curation_pipeline(spark, sf_dir):
     same oracled operator the driver checks piecewise (quality_gopher,
     lang_id, minhash_lsh_dedup, cc_clusters); the composition is oracled
     end-to-end too."""
-    from fast_er_spark.functions.jvm_sketch import jvm_available
     from fast_er_spark.functions.text import gopher_stats
+    from fast_er_spark.functions.jvm_sketch import jvm_available
     from fast_er_spark.operators.components import connected_components
     from fast_er_spark.operators.lsh import lsh_candidate_pairs
     from fast_er_spark.operators.verify import verify_pairs_jaccard
+    from fast_er_spark.partitioning import ensure_min_parallelism
 
-    lang = q_lang_id(spark, sf_dir)
-    docs = _t(spark, sf_dir, "documents")
+    # single-file scans plan one task; spread the gopher/lang kernels across
+    # the cores (no-op at corpus scale — see partitioning.py)
+    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents"))
     # min_stopword_hits=0: the rule thresholds are deployment knobs, and the
     # synthetic corpus is token-salad with no English function words — the
     # stopword rule would gate out EVERY document (the other six rules keep
@@ -724,8 +737,11 @@ def q_curation_pipeline(spark, sf_dir):
     g = gopher_stats(F.col("text"), min_stopword_hits=0)
     kept = (
         docs.where(g["passes"] == 1)
-        .join(lang, "doc_id")
-        .select("doc_id", "text", "pred_lang")
+        # the language route is a pure per-row expression over text — the
+        # same Column q_lang_id projects — so compute it INLINE instead of
+        # re-scanning documents and equi-joining the routes back on doc_id
+        # (one scan + one broadcast join removed; values identical)
+        .select("doc_id", "text", _lang_pred_col(spark, F.col("text")).alias("pred_lang"))
         # three consumers (LSH, verify, lang join-backs + CC nodes): without
         # materialization the gopher/lang gates recompute per consumer
         .localCheckpoint(eager=False)

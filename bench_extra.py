@@ -125,8 +125,11 @@ def main() -> None:
     pairs_ckpt = None
     emb_clustered = None
     emb_dim = None
-    if "cc_clusters" in names and "minhash_lsh_dedup" not in names:
-        names = ["minhash_lsh_dedup"] + list(names)
+    if "cc_clusters" in names:
+        # cc consumes the checkpointed minhash pairs: minhash must run first
+        names = ["minhash_lsh_dedup"] + [n for n in names if n != "minhash_lsh_dedup"]
+        names.remove("cc_clusters")
+        names.insert(1, "cc_clusters")
     if "embedding_near_dup_lsh" in names:
         import atexit
         import shutil
