@@ -65,25 +65,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ------------------------------------------------------------- dedup family
+def _fused_sketch_frame(docs, id_col, text_col, num_perm=128, n=NGRAM, seed=42):
+    """(id, minhash, sh) for non-blank docs via the fused one-tokenization
+    JVM kernel (sig_and_shingles_jvm), lazily checkpointed: it feeds the
+    banding branch AND both verify join sides, halving the dominant
+    map-side cost vs separate signature + shingle passes. Values are
+    bit-identical to the split kernels (parity-tested)."""
+    from fast_er_spark.functions.jvm_sketch import sig_and_shingles_jvm
+
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).where(
+        F.col("__t").isNotNull() & (F.length(F.trim(F.col("__t"))) > 0)
+    )
+    return (
+        base.select("id", sig_and_shingles_jvm("__t", num_perm, n, seed).alias("ss"))
+        .select("id", F.col("ss")[0].alias("minhash"), F.col("ss")[1].alias("sh"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def q_minhash_lsh_dedup(spark, sf_dir):
     """MinHash-LSH candidates + exact shingle-Jaccard verification (the scale
     path). At 32 bands x 4 rows recall at j>=0.8 is 1 - 5e-8 FOR ANY MinHash
     family, and verification fixes precision exactly, so the result equals
     the brute-force oracle regardless of the signature scheme — the query
-    uses the compiled executor-JVM OPH kernel when a JDK is present and the
-    Arrow kperm kernel otherwise."""
+    uses the compiled executor-JVM fused OPH+shingle kernel (ONE
+    tokenization pass feeds both candidate generation and verification)
+    when a JDK is present and the Arrow kperm kernel otherwise."""
     from fast_er_spark.functions.jvm_sketch import jvm_available
     from fast_er_spark.operators.lsh import lsh_candidate_pairs
     from fast_er_spark.operators.verify import verify_pairs_jaccard
 
     docs = _t(spark, sf_dir, "documents")
-    cand = lsh_candidate_pairs(
-        docs, "doc_id", "text", num_perm=128, bands=32, rows_per_band=4, n=NGRAM,
-        seed=42, scheme="oph_jvm" if jvm_available(spark) else "kperm",
-    )
-    return verify_pairs_jaccard(cand, docs, "doc_id", "text", n=NGRAM, threshold=0.8).select(
-        "id_a", "id_b", "inter_size", "union_size"
-    )
+    if jvm_available(spark):
+        ss = _fused_sketch_frame(docs, "doc_id", "text", num_perm=128, n=NGRAM, seed=42)
+        cand = lsh_candidate_pairs(
+            docs, "doc_id", "text", num_perm=128, bands=32, rows_per_band=4,
+            n=NGRAM, seed=42, presigned=ss.select("id", "minhash"),
+        )
+        pairs = verify_pairs_jaccard(
+            cand, docs, "doc_id", "text", n=NGRAM, threshold=0.8,
+            shingles=ss.select("id", "sh"),
+        )
+    else:
+        cand = lsh_candidate_pairs(
+            docs, "doc_id", "text", num_perm=128, bands=32, rows_per_band=4, n=NGRAM,
+            seed=42, scheme="kperm",
+        )
+        pairs = verify_pairs_jaccard(cand, docs, "doc_id", "text", n=NGRAM, threshold=0.8)
+    return pairs.select("id_a", "id_b", "inter_size", "union_size")
 
 
 def q_token_jaccard_pairs(spark, sf_dir):
@@ -746,11 +775,22 @@ def q_curation_pipeline(spark, sf_dir):
         # materialization the gopher/lang gates recompute per consumer
         .localCheckpoint(eager=False)
     )
-    cand = lsh_candidate_pairs(
-        kept, "doc_id", "text", num_perm=128, bands=32, rows_per_band=4,
-        n=NGRAM, seed=42, scheme="oph_jvm" if jvm_available(spark) else "kperm",
-    )
-    pairs = verify_pairs_jaccard(cand, kept, "doc_id", "text", n=NGRAM, threshold=0.8)
+    if jvm_available(spark):
+        ss = _fused_sketch_frame(kept, "doc_id", "text", num_perm=128, n=NGRAM, seed=42)
+        cand = lsh_candidate_pairs(
+            kept, "doc_id", "text", num_perm=128, bands=32, rows_per_band=4,
+            n=NGRAM, seed=42, presigned=ss.select("id", "minhash"),
+        )
+        pairs = verify_pairs_jaccard(
+            cand, kept, "doc_id", "text", n=NGRAM, threshold=0.8,
+            shingles=ss.select("id", "sh"),
+        )
+    else:
+        cand = lsh_candidate_pairs(
+            kept, "doc_id", "text", num_perm=128, bands=32, rows_per_band=4,
+            n=NGRAM, seed=42, scheme="kperm",
+        )
+        pairs = verify_pairs_jaccard(cand, kept, "doc_id", "text", n=NGRAM, threshold=0.8)
     la = kept.select(F.col("doc_id").alias("id_a"), F.col("pred_lang").alias("la"))
     lb = kept.select(F.col("doc_id").alias("id_b"), F.col("pred_lang").alias("lb"))
     edges = (

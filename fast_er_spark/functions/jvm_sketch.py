@@ -30,6 +30,7 @@ __all__ = [
     "jvm_available",
     "ensure_jvm_udfs",
     "oph_signature_jvm",
+    "sig_and_shingles_jvm",
     "jw_level_jvm",
     "jw_level_jvm_bin",
     "char_mask_jvm",
@@ -50,6 +51,7 @@ _SRCS = [
     os.path.join(_JVM_DIR, "TextUdfs.java"),
 ]
 _UDF_NAME = "fast_er_oph_signature"
+_SIG_SH_UDF_NAME = "fast_er_sig_and_shingles"
 _JW_UDF_NAME = "fast_er_jw_level"
 _JW_BIN_UDF_NAME = "fast_er_jw_level_bin"
 _CHAR_MASK_UDF_NAME = "fast_er_char_mask"
@@ -157,6 +159,11 @@ def ensure_jvm_udfs(spark: SparkSession) -> bool:
             _SHINGLE_UDF_NAME, "FastErUdfs$ShingleHashes", T.ArrayType(T.LongType())
         )
         spark.udf.registerJavaFunction(
+            _SIG_SH_UDF_NAME,
+            "FastErUdfs$SigAndShingles",
+            T.ArrayType(T.ArrayType(T.LongType())),
+        )
+        spark.udf.registerJavaFunction(
             _ANCHOR_UDF_NAME, "FastErUdfs$SubstringAnchors", T.ArrayType(T.LongType())
         )
         spark.udf.registerJavaFunction(_LCS_UDF_NAME, "LcsUdfs", T.IntegerType())
@@ -199,6 +206,23 @@ def oph_signature_jvm(
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.call_udf(
         _UDF_NAME, col, F.lit(num_perm), F.lit(n), F.lit(seed).cast("long")
+    )
+
+
+def sig_and_shingles_jvm(
+    text_col, num_perm: int = 128, n: int = 3, seed: int = 42
+) -> Column:
+    """[OPH signature, distinct sorted shingle hashes] as array<array<long>>
+    in ONE tokenization pass (jvm/FastErUdfs.java::SigAndShingles) — the
+    fused kernel for the LSH-then-verify path. [0] is bit-identical to
+    oph_signature_jvm, [1] to shingle_hashes_jvm (parity-tested). Null for
+    blank docs (oph contract). The caller must have run
+    ensure_jvm_udfs(spark) first."""
+    if num_perm < 2 or num_perm & (num_perm - 1):
+        raise ValueError("num_perm must be a power of two >= 2 for OPH")
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.call_udf(
+        _SIG_SH_UDF_NAME, col, F.lit(num_perm), F.lit(n), F.lit(seed).cast("long")
     )
 
 

@@ -209,6 +209,82 @@ public class FastErUdfs implements UDF4<String, Integer, Integer, Long, ArrayLis
     }
 
     /**
+     * OPH signature AND distinct sorted shingle hashes in ONE tokenization
+     * pass — the fused sketch for the LSH-then-verify dedup path. The split
+     * kernels (FastErUdfs for the signature, ShingleHashes for the verify
+     * side) each re-tokenize and re-hash every shingle of every document;
+     * at corpus scale that doubles the dominant map-side cost for byte-
+     * identical results. Output [0] = signature (exactly ophSignature's
+     * value: same token hashes, same bucket mins, same densification),
+     * [1] = sorted distinct shingle hashes (exactly ShingleHashes' value).
+     * Blank/None text -> null (ophSignature's contract; the caller filters
+     * blank docs and band_buckets drops null signatures).
+     */
+    public static class SigAndShingles
+            implements org.apache.spark.sql.api.java.UDF4<String, Integer, Integer, Long, ArrayList<ArrayList<Long>>> {
+        @Override
+        public ArrayList<ArrayList<Long>> call(String text, Integer numPerm, Integer n, Long seed) {
+            if (text == null) return null;
+            int len = text.length();
+            int shift = 64 - Integer.numberOfTrailingZeros(numPerm);
+            long[] toks = new long[32];
+            int nTok = 0;
+            int i = 0;
+            while (i < len) {
+                while (i < len && isPyWhitespace(text.charAt(i))) i++;
+                if (i >= len) break;
+                int start = i;
+                while (i < len && !isPyWhitespace(text.charAt(i))) i++;
+                if (nTok == toks.length) toks = java.util.Arrays.copyOf(toks, nTok * 2);
+                toks[nTok++] = tokenHash(text, start, i, seed);
+            }
+            if (nTok == 0) return null;
+            int nEff = Math.min(n, nTok);
+            int w = nTok - nEff + 1;
+            long[] sig = new long[numPerm];
+            java.util.Arrays.fill(sig, EMPTY);
+            long[] hs = new long[w];
+            for (int p = 0; p < w; p++) {
+                long h = 0;
+                for (int k = 0; k < nEff; k++) h += MIX[k] * toks[p + k];
+                hs[p] = h;
+                int b = (int) (h >>> shift);
+                if (Long.compareUnsigned(h, sig[b]) < 0) sig[b] = h;
+            }
+            // rotation densification — identical to ophSignature's tail
+            long[] dense = sig.clone();
+            long fillVal = EMPTY;
+            long fillDist = 0;
+            for (int pass = 0; pass < 2; pass++) {
+                for (int k = numPerm - 1; k >= 0; k--) {
+                    if (sig[k] != EMPTY) {
+                        fillVal = sig[k];
+                        fillDist = 0;
+                    } else {
+                        fillDist++;
+                    }
+                    if (dense[k] == EMPTY && fillVal != EMPTY) {
+                        dense[k] = fillVal + fillDist * ODD;
+                    }
+                }
+            }
+            ArrayList<Long> sigOut = new ArrayList<>(numPerm);
+            for (long v : dense) sigOut.add(v);
+            java.util.Arrays.sort(hs);
+            ArrayList<Long> shOut = new ArrayList<>(w);
+            long prev = 0;
+            for (int j = 0; j < w; j++) {
+                if (j == 0 || hs[j] != prev) shOut.add(hs[j]);
+                prev = hs[j];
+            }
+            ArrayList<ArrayList<Long>> out = new ArrayList<>(2);
+            out.add(sigOut);
+            out.add(shOut);
+            return out;
+        }
+    }
+
+    /**
      * DISTINCT word-mode n-gram shingle hashes (sorted ascending) — the JVM
      * twin of functions/shingles.py::hash_shingles_batch for the VERIFY
      * stage. Different hash family than the Python path, which is fine:

@@ -137,6 +137,7 @@ def lsh_candidate_pairs(
     star_pivots: int = 3,
     scheme: str = "kperm",
     mark_star: bool = False,
+    presigned: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a > id_b), deduplicated across
     bands. Rows with empty text are excluded (nothing to match).
@@ -146,14 +147,25 @@ def lsh_candidate_pairs(
     pairs are the ones the RECALL CAVEAT above is about — downstream
     verification rejecting them is the signal that a hot bucket mixed
     clusters; the pipeline counts exactly that per run (see
-    DedupPipeline)."""
+    DedupPipeline).
+
+    ``presigned``: an (id, minhash) frame with signatures already computed
+    (e.g. the fused signature+shingle kernel, jvm_sketch.py::
+    sig_and_shingles_jvm, which shares one tokenization pass with the
+    verify stage). When given, ``df``/``text_col``/``scheme`` are ignored
+    for signing; the signatures MUST come from one family at this
+    num_perm."""
     if bands * rows_per_band > num_perm:
         raise ValueError("bands * rows_per_band must be <= num_perm")
 
-    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")).where(
-        F.col("__text").isNotNull() & (F.length(F.trim(F.col("__text"))) > 0)
-    )
-    signed = with_minhash_signature(base, "__text", num_perm, n, mode, seed, scheme=scheme)
+    if presigned is not None:
+        # contract: columns already (id, minhash)
+        signed = presigned.select("id", "minhash")
+    else:
+        base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")).where(
+            F.col("__text").isNotNull() & (F.length(F.trim(F.col("__text"))) > 0)
+        )
+        signed = with_minhash_signature(base, "__text", num_perm, n, mode, seed, scheme=scheme)
     ex = band_buckets(signed, "id", "minhash", bands, rows_per_band)
     if num_partitions:
         ex = ex.repartition(num_partitions, "band", "bucket")

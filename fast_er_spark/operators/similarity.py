@@ -247,32 +247,61 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).where(F.col("v").isNotNull() & (F.size("v") == dim))
-    # quantized components + squared norm per VECTOR (never per pair), in
-    # one vectorized Arrow pass — the interpreted transform/aggregate HOFs
-    # this replaces put an interpreter loop on every component
-    # (quantize_norm_batch docstring; values identical, parity-tested)
-    qn = quantize_norm_batch(quantize)
-    qv = (
-        base.withColumn("qn", qn(F.col("v")))
-        .select("id", F.col("qn.q").alias("q"), F.col("qn.n").alias("n"))
-        .localCheckpoint(eager=False)
-    )
 
     if method == "srp":
-        sketch = srp_sketch_multi(dim, n_planes, n_tables, seed)
+        # planes generated exactly like srp_sketch_multi (rng seed + 1000*t)
+        per_table = [
+            np.random.default_rng(seed + 1000 * t).standard_normal((n_planes, dim))
+            for t in range(n_tables)
+        ]
+        planes = np.concatenate(per_table, axis=0)
+        weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+        def keys_fn(mat: np.ndarray) -> np.ndarray:
+            bits = (mat @ planes.T) > 0
+            return bits.reshape(len(mat), n_tables, n_planes).astype(np.int64) @ weights
+
     elif method == "ivf":
         cents = ivf_centroids(corpus, dim, vec_col, n_cells, sample=sample, seed=seed)
 
-        @F.pandas_udf(T.ArrayType(T.LongType()))
-        def sketch(vecs: pd.Series) -> pd.Series:
-            mat = np.stack(vecs.to_numpy()).astype(np.float64)
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            order = np.argsort(-(mat @ cents.T), axis=1)[:, :n_assign]
-            return pd.Series(list(order.astype(np.int64)))
+        def keys_fn(mat: np.ndarray) -> np.ndarray:
+            m = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            return np.argsort(-(m @ cents.T), axis=1)[:, :n_assign].astype(np.int64)
+
     else:
         raise ValueError("method must be 'srp' or 'ivf'")
 
-    banded = base.select("id", F.posexplode(sketch(F.col("v"))).alias("tbl", "bucket"))
+    # quantized components + squared norm + ALL bucket keys per VECTOR in a
+    # SINGLE vectorized Arrow pass over ONE corpus scan: the split form
+    # (quantize_norm_batch for verify, srp_sketch_multi/ivf-assign for
+    # banding) read the corpus and crossed the Python boundary twice for
+    # per-vector work that shares its input matrix. Values are identical —
+    # same rng planes / centroids, same HALF_UP quantization (see
+    # quantize_norm_batch: np.round would be banker's rounding and diverge).
+    @F.pandas_udf("q array<long>, n long, keys array<long>")
+    def feat(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        scaled = mat * quantize
+        q = (np.floor(np.abs(scaled) + 0.5) * np.sign(scaled)).astype(np.int64)
+        n = np.einsum("ij,ij->i", q, q)
+        keys = keys_fn(mat)
+        return pd.DataFrame({"q": list(q), "n": n, "keys": list(keys)})
+
+    combined = (
+        base.withColumn("fe", feat(F.col("v")))
+        .select(
+            "id",
+            F.col("fe.q").alias("q"),
+            F.col("fe.n").alias("n"),
+            F.col("fe.keys").alias("keys"),
+        )
+        # feeds BOTH the banding branch and the verify join sides — one
+        # materialization instead of re-running the scan + Arrow pass
+        .localCheckpoint(eager=False)
+    )
+    qv = combined.select("id", "q", "n")
+
+    banded = combined.select("id", F.posexplode("keys").alias("tbl", "bucket"))
     if method == "ivf":
         # the explode position is the assignment RANK, not a table: a pair
         # straddling a boundary shares the cell at different ranks, so the

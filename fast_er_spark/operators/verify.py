@@ -86,6 +86,7 @@ def verify_pairs_jaccard(
     threshold: float = 0.8,
     hashed: bool = True,
     engine: str = "auto",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Keep candidate pairs with exact shingle-Jaccard >= threshold.
 
@@ -105,9 +106,18 @@ def verify_pairs_jaccard(
     one, and intersection/union sizes are family-independent);
     'python' forces the Arrow pandas hasher.
 
+    ``shingles``: a precomputed (id, sh) frame (e.g. from the fused
+    signature+shingle kernel — jvm_sketch.py::sig_and_shingles_jvm — which
+    shares one tokenization pass with candidate generation). The caller
+    owns its materialization; ids absent from it simply drop from the
+    output, so feeding only the candidate-generating subset is safe.
+
     The doc->shingles frame is checkpointed once: it feeds BOTH join sides,
     and without materialization Spark recomputes it per side (measured 2x).
     """
+    if shingles is not None:
+        sh = shingles.select("id", "sh")
+        return _verify_join(pairs, sh, threshold)
     if hashed:
         sh_col = None
         if engine in ("auto", "jvm"):
@@ -124,6 +134,12 @@ def verify_pairs_jaccard(
     sh = docs.select(F.col(id_col).alias("id"), sh_col.alias("sh")).localCheckpoint(
         eager=False
     )
+    return _verify_join(pairs, sh, threshold)
+
+
+def _verify_join(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """The verify tail shared by the computed and precomputed shingle paths:
+    two id equi-joins + the integer-arithmetic threshold test."""
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter, union = jaccard_columns(F.col("sh_a"), F.col("sh_b"))

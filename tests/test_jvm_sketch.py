@@ -477,3 +477,43 @@ def test_char_mask_volume_gate(spark, jvm, monkeypatch):
     monkeypatch.setenv("FAST_ER_JW_MASK_MIN_PAIRS", "0")
     forced = scored_value_pairs(va, vb, 0.1, 0.88, 0.94, engine="jvm")
     assert "__ma" in plan(forced)
+
+
+def test_fused_sig_and_shingles_parity(spark, jvm):
+    """The fused one-tokenization kernel must be BIT-identical to the split
+    kernels on both outputs: [0] == oph_signature_jvm, [1] ==
+    shingle_hashes_jvm — including short docs (< n tokens), unicode
+    whitespace, duplicate shingles, and the blank -> null contract."""
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.functions.jvm_sketch import (
+        oph_signature_jvm,
+        shingle_hashes_jvm,
+        sig_and_shingles_jvm,
+    )
+
+    texts = [
+        "a b c d e f g",
+        "one two",          # < n tokens: whole-doc shingle
+        "x",                # single token
+        "dup dup dup dup dup",  # duplicate shingles collapse
+        "tab\tand\nnewline mix",
+        "nbsp separated tokens",  # python whitespace set
+        "",                 # blank -> null
+        "   ",              # whitespace-only -> null
+        "café naïve 中文 \U0001f600 tokens here",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    out = df.select(
+        "id",
+        oph_signature_jvm("t", 128, 3, 42).alias("sig"),
+        shingle_hashes_jvm("t", 3, 42).alias("sh"),
+        sig_and_shingles_jvm("t", 128, 3, 42).alias("ss"),
+    ).collect()
+    for r in out:
+        if r["ss"] is None:
+            assert r["sig"] is None
+            assert r["sh"] == []  # split shingle kernel: blank -> empty
+            continue
+        assert r["ss"][0] == r["sig"], f"sig mismatch id={r['id']}"
+        assert r["ss"][1] == r["sh"], f"shingles mismatch id={r['id']}"
