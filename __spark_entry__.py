@@ -134,6 +134,12 @@ def q_token_jaccard_pairs(spark, sf_dir):
         else shingle_hashes("text", NGRAM)
     )
     sh = docs.select(F.col("doc_id").alias("id"), F.explode(sh_col).alias("g"))
+    # df-cap stays a count WINDOW (measured A/B this round, strict
+    # alternation with steal filtering: window 1.67 s vs hot-key
+    # anti-join 2.08-2.52 s at sf0.1 — the anti-join's extra checkpoint +
+    # broadcast build + agg shuffle cost more than the sort it removes at
+    # this frame size; revisit only if the exploded frame's sort shuffle
+    # ever dominates a profile)
     sh = (
         sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
         .where(F.col("df") <= HOT_SHINGLE_DF_CAP)
@@ -221,12 +227,21 @@ def q_fs_pattern_counts(spark, sf_dir):
     frames = [exact_levels_dedup(sup, "nat", "id"), exact_levels_dedup(sup, "balband", "id")]
     pats = assemble_patterns(frames, k_fuzzy=0, k_exact=2)
     observed = pattern_counts(pats)
-    n = sup.count()
-    total = n * (n + 1) // 2
     # checkpoint: the complement sum (collect below) and the returned frame
     # would otherwise each execute the full pattern DAG
     nonzero = observed.where(F.col("pattern_id") != 0).localCheckpoint(eager=False)
-    s = nonzero.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
+    # the supplier count and the pattern-sum job are independent — overlap
+    # them (two serial driver actions otherwise, guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        f_n = ex.submit(sup.count)
+        f_s = ex.submit(
+            lambda: nonzero.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0]
+        )
+        n = f_n.result()
+        s = f_s.result()
+    total = n * (n + 1) // 2
     comp = _lit_rows(
         spark, [(0, total - int(s))], [("pattern_id", "long"), ("cnt", "long")]
     )

@@ -932,6 +932,13 @@ class Comparison:
             self._ensure_sparse()
             out = self._sparse.where(F.col("pattern_id").isin(fuzzy_pids))
         if exact_pids:
+            if self._parts is not None and not self._sparse_materialized:
+                # analytic engine: _exact_only_patterns anti-joins the sparse
+                # PLAN; materialize it once (spill/persist) here, or the full
+                # union+groupBy re-executes inside every consumer of the
+                # anti-join — unbounded cost on exactly the big fits the
+                # engine defaults on for
+                self._ensure_sparse()
             out = out.unionByName(
                 self._exact_only_patterns().where(F.col("pattern_id").isin(exact_pids))
             )
@@ -987,6 +994,16 @@ class Comparison:
                             m_marg[key] = m_marg.get(key, 0) + c
                 for (i, lvl, e), n in fuzzy_joint.items():
                     c = n - m_marg.get((i, lvl, e), 0)
+                    if c < 0:
+                        # invariant: every multi-frame pair at (var, level,
+                        # exact) is also in the value-level joint count — a
+                        # negative remainder means the two engines disagree
+                        # and the histogram would be silently corrupted
+                        raise RuntimeError(
+                            "analytic-singles invariant violated at "
+                            f"(var={i}, level={lvl}, exact={e}): joint {n} < "
+                            f"multi marginal {m_marg.get((i, lvl, e), 0)}"
+                        )
                     if c:
                         pid = lvl * st[i] + e
                         observed[pid] = observed.get(pid, 0) + c
@@ -1085,14 +1102,13 @@ class Deduplication:
         self._multi_materialized = False
 
     def _analytic(self) -> bool:
-        """Triangular analogue of Comparison._analytic (Deduplication has
-        no blocking mode, so the gate is just mode + pair-space size)."""
-        mode = os.environ.get("FAST_ER_ANALYTIC_SINGLES", "auto")
-        if mode == "0" or self.k_fuzzy < 1:
-            return False
-        if mode in ("1", "force"):
-            return True
-        return self._big()
+        """OFF until the triangular analytic counts path exists: fit() used
+        to persist every matched value-pair frame and set self._parts on
+        big dedups, but no Deduplication code consumes them (counts() still
+        materializes the full sparse frame) — default-path memory and a
+        persist job with zero benefit (round-5 ADVICE). Re-enable alongside
+        a triangular _fuzzy_joint_counts/_ensure_multi implementation."""
+        return False
 
     def _big(self) -> bool:
         if getattr(self, "_big_cached", None) is None:
@@ -1126,21 +1142,14 @@ class Deduplication:
         if self.k_fuzzy and candidates is None:
             sizes_d = _batched_distinct_counts(d, self.vars_fuzzy)
         sparse_path = exact_sparse and self.k_fuzzy >= 1 and 1 <= self.k_exact <= 8
-        analytic = sparse_path and self._analytic()
         fuzzy_frames = []
-        parts = []
         for i, c in enumerate(self.vars_fuzzy):
             matched, rows = fuzzy_value_parts_dedup(
                 d, c, "id", p, lower_thr, upper_thr, candidates,
                 sizes=(sizes_d[i], sizes_d[i]) if sizes_d else None,
             )
-            if analytic:
-                # shared by the assembly join-back and the analytic joint-
-                # counts job (see Comparison.fit)
-                matched = matched.persist()
-            parts.append((matched, rows))
             fuzzy_frames.append(join_back_dedup(matched, rows, "id"))
-        self._parts = parts if analytic else None
+        self._parts = None  # no dedup analytic engine yet (see _analytic)
         # same 2^k CUBE-expansion guard as Comparison.fit
         if sparse_path:
             self._fit_sparse(d, fuzzy_frames)

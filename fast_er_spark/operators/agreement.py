@@ -500,17 +500,12 @@ def join_back_dedup(
     rows: DataFrame,
     id_col: str = "id",
     block: bool = False,
-    levels: list[int] | None = None,
 ) -> DataFrame:
     """(id_a, id_b, level), id_a > id_b, from ``fuzzy_value_parts_dedup``
-    parts. ``levels`` restricts the output (analytic engine's on-demand
-    regeneration): the equal-value diagonal short-circuit contributes only
-    to level 2, so it is skipped when 2 is not requested."""
+    parts."""
     bl = ["__block"] if block else []
     ra = rows.select(F.col(id_col).alias("ida"), F.col("val").alias("val_a"), *bl)
     rb = rows.select(F.col(id_col).alias("idb"), F.col("val").alias("val_b"), *bl)
-    if levels is not None:
-        matched = matched.where(F.col("level").isin([int(x) for x in levels]))
     # canonicalize each row pair as (max, min) like the reference
     # (deduplication.py:301-310)
     diff_val = (
@@ -522,8 +517,6 @@ def join_back_dedup(
             "level",
         )
     )
-    if levels is not None and 2 not in [int(x) for x in levels]:
-        return diff_val
     # same-value pairs: diagonal short-circuit, level 2
     join_same = (F.col("val_a") == F.col("val_b")) if not block else (
         (F.col("val_a") == F.col("val_b")) & (ra["__block"] == rb["__block"])

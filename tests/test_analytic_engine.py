@@ -135,3 +135,46 @@ def test_natural_key_parity(frames):
     c0 = _fit((df_a, df_b), "0", id_a="rid", id_b="rid")
     c1 = _fit((df_a, df_b), "force", id_a="rid", id_b="rid")
     assert np.array_equal(c0.counts(), c1.counts())
+
+
+def test_counts_and_matched_pairs_parity_two_exact(frames):
+    """k_exact=2 parity (round-5 ADVICE): with a single exact variable the
+    Moebius inversion over exact subsets and the grouping-id bit
+    conventions in _fuzzy_joint_counts are never exercised on a non-trivial
+    subset lattice — exactly where a bit-order mismatch between gid bits
+    and pattern-id exact strides would hide. Same exact-equality contract
+    as the k_exact=1 test, with EX = [birth_year, street_name]."""
+    fuz2 = ["last_name", "first_name"]
+    ex2 = ["birth_year", "street_name"]
+
+    def fit2(mode):
+        os.environ["FAST_ER_ANALYTIC_SINGLES"] = mode
+        try:
+            comp = Comparison(frames[0], frames[1], fuz2, fuz2, ex2, ex2)
+            comp.fit()
+            comp.counts()
+        finally:
+            os.environ.pop("FAST_ER_ANALYTIC_SINGLES", None)
+        return comp
+
+    c0 = fit2("0")
+    c1 = fit2("force")
+    assert c1._parts is not None and c0._parts is None
+    h0, h1 = c0.counts(), c1.counts()
+    assert np.array_equal(h0, h1)
+    pids = [int(i) for i in np.nonzero(h0)[0] if i != 0]
+    from fast_er_spark.patterns import strides
+
+    st = strides(len(fuz2), len(ex2))
+
+    def nfz(q):
+        return sum(1 for i in range(len(fuz2)) if (q // st[i]) % 3)
+
+    # need every class incl. MIXED exact subsets for the lattice to bite
+    assert any(nfz(q) >= 2 for q in pids)
+    assert any(nfz(q) == 1 for q in pids)
+    assert any(q < 2 ** len(ex2) for q in pids)
+    assert len({q % (2 ** len(ex2)) for q in pids}) >= 3  # >=3 exact patterns
+    m0 = sorted(map(tuple, c0.matched_pairs(pids).collect()))
+    m1 = sorted(map(tuple, c1.matched_pairs(pids).collect()))
+    assert m0 == m1 and len(m0) > 0
