@@ -393,10 +393,14 @@ _LANG_MARKERS = {
 }
 
 
-def _lang_pred_col(spark, text_col):
-    """The marker-language argmax as ONE Column over ``text_col`` — shared
-    by q_lang_id and q_curation_pipeline so the composition can compute the
-    route inline instead of re-scanning documents and joining on doc_id."""
+def _lang_score_cols(spark, text_col):
+    """Aliased per-language marker-count Columns (``s_<lang>``) — project
+    these FIRST, then apply ``_lang_pred_from_scores`` over the aliased
+    columns: inlining the kernel call into the argmax chain duplicates the
+    whole marker expression ~3x per language, and the ANALYSIS of that tree
+    alone measured ~0.5 s per query build. Shared by q_lang_id and
+    q_curation_pipeline (the composition computes the route inline instead
+    of re-scanning documents and joining on doc_id)."""
     from fast_er_spark.functions.jvm_sketch import ensure_jvm_udfs
     from fast_er_spark.functions.text import lang_marker_counts
 
@@ -404,13 +408,17 @@ def _lang_pred_col(spark, text_col):
     # both engines lowercase internally (F.lower in the expression path,
     # Locale.ROOT toLowerCase in the kernel)
     cnts = lang_marker_counts(text_col, _LANG_MARKERS, jvm=ensure_jvm_udfs(spark))
-    scores = [cnts[i] for i in range(len(langs))]
-    best = F.greatest(*scores)
-    by_lang = dict(zip(langs, scores))
+    return [cnts[i].alias(f"s_{lg}") for i, lg in enumerate(langs)]
+
+
+def _lang_pred_from_scores():
+    """argmax with fixed priority order over the ``s_<lang>`` columns."""
+    langs = list(_LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
     pred = F.lit("en")
     # fixed priority: first language (in sorted key order) reaching the max
     for lg in reversed(sorted(langs)):
-        pred = F.when(by_lang[lg] == best, F.lit(lg)).otherwise(pred)
+        pred = F.when(F.col(f"s_{lg}") == best, F.lit(lg)).otherwise(pred)
     return pred
 
 
@@ -420,10 +428,11 @@ def q_lang_id(spark, sf_dir):
     (jvm/TextUdfs.java::MarkerCounts) vs one interpreted F.filter pass per
     language on the expression fallback — identical counts either way."""
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    scored = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        _lang_pred_col(spark, F.col("text")).alias("pred_lang"),
+        *_lang_score_cols(spark, F.col("text")),
     )
+    return scored.select("doc_id", _lang_pred_from_scores().alias("pred_lang"))
 
 
 def q_lang_id_ngram(spark, sf_dir):
@@ -771,8 +780,11 @@ def q_curation_pipeline(spark, sf_dir):
     from fast_er_spark.partitioning import ensure_min_parallelism
 
     # single-file scans plan one task; spread the gopher/lang kernels across
-    # the cores (no-op at corpus scale — see partitioning.py)
-    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents"))
+    # the cores (no-op at corpus scale — see partitioning.py). barrier=True:
+    # Catalyst otherwise pushes the gopher predicate below the repartition,
+    # landing the whole regexp battery back in the single-task scan stage
+    # (measured: a 0.65 s 1-task job).
+    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents"), barrier=True)
     # min_stopword_hits=0: the rule thresholds are deployment knobs, and the
     # synthetic corpus is token-salad with no English function words — the
     # stopword rule would gate out EVERY document (the other six rules keep
@@ -782,10 +794,12 @@ def q_curation_pipeline(spark, sf_dir):
     kept = (
         docs.where(g["passes"] == 1)
         # the language route is a pure per-row expression over text — the
-        # same Column q_lang_id projects — so compute it INLINE instead of
+        # same Columns q_lang_id projects — so compute it INLINE instead of
         # re-scanning documents and equi-joining the routes back on doc_id
-        # (one scan + one broadcast join removed; values identical)
-        .select("doc_id", "text", _lang_pred_col(spark, F.col("text")).alias("pred_lang"))
+        # (one scan + one broadcast join removed; values identical). Two
+        # projections on purpose: see _lang_score_cols.
+        .select("doc_id", "text", *_lang_score_cols(spark, F.col("text")))
+        .select("doc_id", "text", _lang_pred_from_scores().alias("pred_lang"))
         # three consumers (LSH, verify, lang join-backs + CC nodes): without
         # materialization the gopher/lang gates recompute per consumer
         .localCheckpoint(eager=False)

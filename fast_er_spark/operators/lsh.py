@@ -108,11 +108,18 @@ def band_buckets(
     filter referencing a UDF column splits the plan into filter+project
     stages that each evaluate the signature UDF (measured: 2 ArrowEvalPython
     stages, 2x the dominant corpus-scale cost)."""
-    band_hashes = F.array(
-        *[
-            F.xxhash64(F.lit(b), F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band))
+    # ONE parsed SQL string, not `bands` Column objects: each Column op is a
+    # py4j round trip, and 32 xxhash64(slice(...)) built per invocation
+    # measured ~0.3 s of pure driver-side construction per query — the
+    # parser builds the identical expression tree (int literals and all) in
+    # one call
+    band_hashes = F.expr(
+        "array("
+        + ", ".join(
+            f"xxhash64({b}, slice(`{sig_col}`, {b * rows_per_band + 1}, {rows_per_band}))"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     return df.select(
         F.col(id_col).alias("id"),
@@ -203,24 +210,18 @@ def bucket_member_pairs(
     The clique-vs-star choice is a CASE inside one pair-array expression:
     branching into two DataFrame consumers would recompute the upstream
     bucketing per branch (measured 2x wall)."""
+    # parsed SQL strings for the same reason as band_buckets: the nested
+    # lambda Column construction costs ~0.17 s of py4j round trips per
+    # invocation; the parser builds the identical trees in two calls
     ids = F.col("ids")
-    clique_array = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(y.alias("id_a"), x.alias("id_b")),
-            ),
-        )
+    clique_array = F.expr(
+        "flatten(transform(ids, (x, i) -> transform("
+        "slice(ids, i + 2, size(ids)), y -> struct(y AS id_a, x AS id_b))))"
     )
-    star_array = F.flatten(
-        F.transform(
-            F.slice(ids, 1, star_pivots),
-            lambda piv, pi: F.transform(
-                F.slice(ids, pi + 2, F.size(ids)),
-                lambda y: F.struct(y.alias("id_a"), piv.alias("id_b")),
-            ),
-        )
+    star_array = F.expr(
+        f"flatten(transform(slice(ids, 1, {int(star_pivots)}), (piv, pi) -> "
+        "transform(slice(ids, pi + 2, size(ids)), "
+        "y -> struct(y AS id_a, piv AS id_b))))"
     )
     pairs = buckets.select(
         F.explode(

@@ -19,12 +19,22 @@ from pyspark.sql import DataFrame
 __all__ = ["ensure_min_parallelism"]
 
 
-def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def ensure_min_parallelism(
+    df: DataFrame, min_parts: int | None = None, barrier: bool = False
+) -> DataFrame:
     """Repartition ``df`` round-robin to ``min_parts`` (default: the
     session's defaultParallelism) iff its physical plan currently yields
     fewer partitions. Row-order independent consumers only (round-robin
     reassigns rows to partitions; Spark's sort-before-repartition keeps the
-    assignment deterministic under retries)."""
+    assignment deterministic under retries).
+
+    ``barrier=True`` additionally lazy-checkpoints the repartitioned frame —
+    ONLY when the repartition fired, so a corpus-scale input is never
+    materialized here. Use it when the consumer applies a FILTER whose
+    predicate is the expensive per-row work: Catalyst pushes predicates
+    below a bare repartition, landing the work back in the undersized scan
+    stage; the checkpoint is an optimizer barrier that pins the filter above
+    the spread (a handful of small-input rows is all it ever materializes)."""
     if min_parts is None:
         min_parts = df.sparkSession.sparkContext.defaultParallelism
     try:
@@ -32,5 +42,7 @@ def ensure_min_parallelism(df: DataFrame, min_parts: int | None = None) -> DataF
     except Exception:  # pragma: no cover - defensive: planning failure
         return df
     if cur < min_parts:
-        return df.repartition(min_parts)
+        df = df.repartition(min_parts)
+        if barrier:
+            df = df.localCheckpoint(eager=False)
     return df
