@@ -392,16 +392,18 @@ def fuzzy_value_parts_linkage(
     multiplicity at the value level, so single-agreement pairs never need
     to be materialized. ``fuzzy_levels_linkage`` below is the joined-back
     per-pair view."""
-    # LAZY checkpoints: each distinct-value frame feeds its count (when
-    # sizes is None) plus the candidate generator — and the char-LSH path
-    # consumes each side several times (eq-join + LSH + semi-joins). Without
-    # materialization the distinct shuffle re-executes per consumer.
+    # NO checkpoint on the distinct frames, deliberately (measured this
+    # round): localCheckpoint(eager=False) of an AQE plan with a shuffle
+    # EXECUTES that shuffle at call time on the driver thread — 8 serial
+    # distinct jobs per 4-variable fit, +18% on the 100k x 100k workload in
+    # an interleaved A/B. The recomputed distinct is fused into the big
+    # parallel downstream jobs and costs less than serializing it.
     vals_a = df_a.select(F.col(col_a).cast("string").alias("val_a")).where(
         F.col("val_a").isNotNull()
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct()
     vals_b = df_b.select(F.col(col_b).cast("string").alias("val_b")).where(
         F.col("val_b").isNotNull()
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct()
     matched = scored_value_pairs(vals_a, vals_b, p, lower, upper, candidates, sizes=sizes)
     bl = ["__block"] if block else []
     rows_a = df_a.select(F.col(id_a), F.col(col_a).cast("string").alias("val_a"), *bl)
@@ -473,13 +475,12 @@ def fuzzy_value_parts_dedup(
     engine (same rationale as ``fuzzy_value_parts_linkage``); equal-value
     row pairs are NOT in ``matched`` — they take the diagonal
     short-circuit in ``join_back_dedup``."""
-    # LAZY checkpoint: the distinct-value frame feeds both cross sides (and
-    # the count below) — without materialization the distinct shuffle
-    # re-executes per consumer (2-3x measured), at corpus scale a full
-    # repeated pass over the column
+    # no checkpoint on the distinct frame — see fuzzy_value_parts_linkage:
+    # a lazy checkpoint of an AQE shuffle plan executes at call time and
+    # serializes the fit; the recompute fuses into parallel stages
     vals = df.select(F.col(col).cast("string").alias("val_a")).where(
         F.col("val_a").isNotNull()
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct()
     # different-value candidates: unordered value pairs (val_a < val_b),
     # each scored exactly once (JW is symmetric)
     vals_b = vals.select(F.col("val_a").alias("val_b"))
