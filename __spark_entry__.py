@@ -458,16 +458,18 @@ def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-5 neighbors for the first 20 query vectors —
     rank-only output (cross-engine float-safe). JVM-side dot products via
     zip_with/aggregate."""
+    # norms hoisted to PER-SIDE columns before the join: computed inside the
+    # pair projection they are interpreter-folded per PAIR (|Q|x|C| times);
+    # per row the fold runs once on the same array with the same operation
+    # order, so cos is bit-identical and 2 of the 3 per-pair folds disappear
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), norm.alias("nrm")
     )
     dot = F.aggregate(
         F.zip_with(F.col("q.v"), F.col("c.v"), lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(
-        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
     )
     q = emb.where(F.col("vec_id") < 20).alias("q")
     c = emb.alias("c")
@@ -476,7 +478,7 @@ def q_embedding_topk(spark, sf_dir):
         .select(
             F.col("q.vec_id").alias("qid"),
             F.col("c.vec_id").alias("vid"),
-            (dot / (norm("q") * norm("c"))).alias("cos"),
+            (dot / (F.col("q.nrm") * F.col("c.nrm"))).alias("cos"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid").asc())
@@ -681,19 +683,21 @@ def q_embedding_near_dup(spark, sf_dir):
     DuckDB agree bit-for-bit. Threshold 0.4 is test-scale (the fixture
     embeddings are unclustered; production near-dup uses 0.9+ with the
     LSH/IVF candidate paths)."""
+    # squared norms hoisted per SIDE (int64 fold once per row, not per pair
+    # — integer arithmetic, values identical; see q_embedding_topk)
+    sqn = F.aggregate(
+        F.col("q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
             F.col("embedding"), lambda x: F.round(x * 100).cast("long")
         ).alias("q"),
-    )
+    ).select("vec_id", "q", sqn.alias("sqn"))
     dot = F.aggregate(
         F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
-    )
-    sq = lambda side: F.aggregate(
-        F.col(f"{side}.q"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
     )
     a, b = emb.alias("a"), emb.alias("b")
     return (
@@ -702,8 +706,8 @@ def q_embedding_near_dup(spark, sf_dir):
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             dot.alias("d"),
-            sq("a").alias("na"),
-            sq("b").alias("nb"),
+            F.col("a.sqn").alias("na"),
+            F.col("b.sqn").alias("nb"),
         )
         .where((F.col("d") > 0) & (25 * F.col("d") * F.col("d") >= 4 * F.col("na") * F.col("nb")))
         .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))

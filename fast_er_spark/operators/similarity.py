@@ -42,6 +42,15 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
 
 
+# Norms are hoisted to per-SIDE columns before every pair join in this
+# module (round 6): inside the pair projection the interpreted norm fold ran
+# once per PAIR; per row it runs once on the same array with the same
+# operation order, so the cosine is bit-identical (same doubles divided)
+# while 2 of the 3 per-pair interpreter folds disappear. The dot fold stays
+# per-pair by necessity, and stays an EXPRESSION on purpose — the Arrow
+# fold-exact variant measured slower at every dim tested (_seq_cos_udf).
+
+
 def _seq_cos_udf():
     """Arrow-batched cosine with SEQUENTIAL-FOLD-IDENTICAL semantics —
     a MEASURED NEGATIVE RESULT, kept as evidence (scripts/bench_rerank.py,
@@ -94,14 +103,14 @@ def cosine_topk(
     """(qid, vid, cos, rank): exact top-k by cosine for every query vector."""
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     scored = q.join(c, F.col("qid") != F.col("vid")).select(
         "qid",
         "vid",
-        (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("cos"),
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vid").asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -398,10 +407,10 @@ def lsh_topk(
     """
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+    ).withColumn("cn", _norm(F.col("cv")))
     cand = None
     for t in range(n_tables):
         sk = srp_sketch(dim, n_planes, table=t, seed=seed)
@@ -413,14 +422,15 @@ def lsh_topk(
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = cand.dropDuplicates(["qid", "vid"])
     # expression re-rank KEPT on purpose: the Arrow fold-exact variant
-    # measured SLOWER at every dim tested (see _seq_cos_udf docstring)
+    # measured SLOWER at every dim tested (see _seq_cos_udf docstring);
+    # norms ride the join sides (see module note — bit-identical cos)
     scored = (
         cand.join(q, "qid")
         .join(c, "vid")
         .select(
             "qid",
             "vid",
-            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
                 "cos"
             ),
         )
@@ -514,20 +524,25 @@ def ivf_topk(
 
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).withColumn("cell", F.explode(probe_cells(F.col("qv"))))
+    ).withColumn("qn", _norm(F.col("qv"))).withColumn(
+        "cell", F.explode(probe_cells(F.col("qv")))
+    )
     c = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("cv")
-    ).withColumn("cell", F.explode(assign_cells(F.col("cv"))))
+    ).withColumn("cn", _norm(F.col("cv"))).withColumn(
+        "cell", F.explode(assign_cells(F.col("cv")))
+    )
     # expression re-rank KEPT on purpose (see _seq_cos_udf: the Arrow
     # fold-exact variant measured slower at every dim tested); dedup AFTER
-    # scoring so the dedup shuffle carries one 8-byte cos, not two vectors
+    # scoring so the dedup shuffle carries one 8-byte cos, not two vectors;
+    # norms ride the join sides (see module note — bit-identical cos)
     scored = (
         q.join(c, "cell")
         .where(F.col("qid") != F.col("vid"))
         .select(
             "qid",
             "vid",
-            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
                 "cos"
             ),
         )
