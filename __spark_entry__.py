@@ -66,21 +66,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ------------------------------------------------------------- dedup family
 def _fused_sketch_frame(docs, id_col, text_col, num_perm=128, n=NGRAM, seed=42):
-    """(id, minhash, sh) for non-blank docs via the fused one-tokenization
-    JVM kernel (sig_and_shingles_jvm), lazily checkpointed: it feeds the
-    banding branch AND both verify join sides, halving the dominant
-    map-side cost vs separate signature + shingle passes. Values are
-    bit-identical to the split kernels (parity-tested)."""
-    from fast_er_spark.functions.jvm_sketch import sig_and_shingles_jvm
+    """(id, minhash, sh) via operators.lsh.fused_sketch_frame, lazily
+    checkpointed: it feeds the banding branch AND both verify join sides,
+    halving the dominant map-side cost vs separate signature + shingle
+    passes. (Safe lazy checkpoint: the frame has no upstream shuffle, so
+    the AQE call-time-execution pathology does not apply.)"""
+    from fast_er_spark.operators.lsh import fused_sketch_frame
 
-    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).where(
-        F.col("__t").isNotNull() & (F.length(F.trim(F.col("__t"))) > 0)
-    )
-    return (
-        base.select("id", sig_and_shingles_jvm("__t", num_perm, n, seed).alias("ss"))
-        .select("id", F.col("ss")[0].alias("minhash"), F.col("ss")[1].alias("sh"))
-        .localCheckpoint(eager=False)
-    )
+    return fused_sketch_frame(
+        docs, id_col, text_col, num_perm=num_perm, n=n, seed=seed
+    ).localCheckpoint(eager=False)
 
 
 def q_minhash_lsh_dedup(spark, sf_dir):

@@ -35,6 +35,7 @@ __all__ = [
     "jw_level_jvm_bin",
     "char_mask_jvm",
     "shingle_hashes_jvm",
+    "sorted_inter_union_jvm",
     "substring_anchors_jvm",
     "lcs_len_jvm",
     "text_stats_jvm",
@@ -52,6 +53,7 @@ _SRCS = [
 ]
 _UDF_NAME = "fast_er_oph_signature"
 _SIG_SH_UDF_NAME = "fast_er_sig_and_shingles"
+_INTER_UNION_UDF_NAME = "fast_er_sorted_inter_union"
 _JW_UDF_NAME = "fast_er_jw_level"
 _JW_BIN_UDF_NAME = "fast_er_jw_level_bin"
 _CHAR_MASK_UDF_NAME = "fast_er_char_mask"
@@ -164,6 +166,9 @@ def ensure_jvm_udfs(spark: SparkSession) -> bool:
             T.ArrayType(T.ArrayType(T.LongType())),
         )
         spark.udf.registerJavaFunction(
+            _INTER_UNION_UDF_NAME, "FastErUdfs$SortedInterUnion", T.LongType()
+        )
+        spark.udf.registerJavaFunction(
             _ANCHOR_UDF_NAME, "FastErUdfs$SubstringAnchors", T.ArrayType(T.LongType())
         )
         spark.udf.registerJavaFunction(_LCS_UDF_NAME, "LcsUdfs", T.IntegerType())
@@ -224,6 +229,19 @@ def sig_and_shingles_jvm(
     return F.call_udf(
         _SIG_SH_UDF_NAME, col, F.lit(num_perm), F.lit(n), F.lit(seed).cast("long")
     )
+
+
+def sorted_inter_union_jvm(a_col, b_col) -> Column:
+    """(intersection_size << 32) | union_size of two SORTED-DISTINCT
+    array<long> columns via one merge-scan (jvm/FastErUdfs.java::
+    SortedInterUnion) — replaces the per-pair hash sets of
+    array_intersect + array_union on the verify hot path. ONLY sound on
+    ascending duplicate-free arrays (what shingle_hashes_jvm and
+    sig_and_shingles_jvm emit); -1 when either side is null. The caller
+    must have run ensure_jvm_udfs(spark) first."""
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    return F.call_udf(_INTER_UNION_UDF_NAME, a, b)
 
 
 def shingle_hashes_jvm(text_col, n: int = 3, seed: int = 42) -> Column:

@@ -285,6 +285,43 @@ public class FastErUdfs implements UDF4<String, Integer, Integer, Long, ArrayLis
     }
 
     /**
+     * (intersection_size << 32) | union_size of two SORTED-DISTINCT long
+     * arrays via one linear merge-scan — the verify-stage replacement for
+     * array_intersect + array_union, which build a hash set per PAIR (the
+     * dominant per-pair cost of exact-Jaccard verification). Inputs MUST be
+     * ascending and duplicate-free — exactly what ShingleHashes and
+     * SigAndShingles emit; on such arrays the sizes equal
+     * size(array_intersect(a,b)) and size(array_union(a,b)) bit-for-bit
+     * (union = |a| + |b| - inter for distinct arrays). Null input -> -1
+     * (callers treat the pair as unverifiable, matching the null-propagating
+     * expression form).
+     */
+    public static class SortedInterUnion
+            implements org.apache.spark.sql.api.java.UDF2<Object, Object, Long> {
+        @Override
+        public Long call(Object ao, Object bo) {
+            if (ao == null || bo == null) return -1L;
+            // the runtime collection class for array<long> is a Spark
+            // implementation detail (immutable/mutable ArraySeq by version);
+            // scala.collection.Seq is the common supertype of both
+            scala.collection.Seq<?> a = (scala.collection.Seq<?>) ao;
+            scala.collection.Seq<?> b = (scala.collection.Seq<?>) bo;
+            int na = a.size(), nb = b.size();
+            int i = 0, j = 0;
+            long inter = 0;
+            while (i < na && j < nb) {
+                long x = ((Number) a.apply(i)).longValue();
+                long y = ((Number) b.apply(j)).longValue();
+                if (x == y) { inter++; i++; j++; }
+                else if (x < y) i++;
+                else j++;
+            }
+            long union = (long) na + nb - inter;
+            return (inter << 32) | union;
+        }
+    }
+
+    /**
      * DISTINCT word-mode n-gram shingle hashes (sorted ascending) — the JVM
      * twin of functions/shingles.py::hash_shingles_batch for the VERIFY
      * stage. Different hash family than the Python path, which is fine:

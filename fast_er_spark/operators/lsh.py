@@ -42,10 +42,36 @@ from ..functions.minhash import minhash_batch, oph_signature_batch
 
 __all__ = [
     "with_minhash_signature",
+    "fused_sketch_frame",
     "band_buckets",
     "bucket_member_pairs",
     "lsh_candidate_pairs",
 ]
+
+
+def fused_sketch_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 128,
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, minhash, sh) for non-blank docs via the fused one-tokenization
+    JVM kernel (jvm_sketch.sig_and_shingles_jvm): ONE pass produces both the
+    LSH signature and the verify-stage shingle hashes, halving the dominant
+    map-side cost of the sketch-then-verify path. Values are bit-identical
+    to the split kernels (parity-tested). The caller owns materialization
+    (checkpoint it or write it to a stage table before fanning out);
+    requires ensure_jvm_udfs(spark) to have succeeded."""
+    from ..functions.jvm_sketch import sig_and_shingles_jvm
+
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).where(
+        F.col("__t").isNotNull() & (F.length(F.trim(F.col("__t"))) > 0)
+    )
+    return base.select(
+        "id", sig_and_shingles_jvm("__t", num_perm, n, seed).alias("ss")
+    ).select("id", F.col("ss")[0].alias("minhash"), F.col("ss")[1].alias("sh"))
 
 
 def with_minhash_signature(

@@ -108,7 +108,8 @@ def verify_pairs_jaccard(
 
     ``shingles``: a precomputed (id, sh) frame (e.g. from the fused
     signature+shingle kernel — jvm_sketch.py::sig_and_shingles_jvm — which
-    shares one tokenization pass with candidate generation). The caller
+    shares one tokenization pass with candidate generation; its arrays are
+    sorted-distinct, so the merge-scan size kernel applies). The caller
     owns its materialization; ids absent from it simply drop from the
     output, so feeding only the candidate-generating subset is safe.
 
@@ -116,8 +117,13 @@ def verify_pairs_jaccard(
     and without materialization Spark recomputes it per side (measured 2x).
     """
     if shingles is not None:
+        from ..functions.jvm_sketch import ensure_jvm_udfs
+
         sh = shingles.select("id", "sh")
-        return _verify_join(pairs, sh, threshold)
+        return _verify_join(
+            pairs, sh, threshold, merge_scan=ensure_jvm_udfs(docs.sparkSession)
+        )
+    jvm_hashes = False
     if hashed:
         sh_col = None
         if engine in ("auto", "jvm"):
@@ -125,6 +131,7 @@ def verify_pairs_jaccard(
 
             if ensure_jvm_udfs(docs.sparkSession):
                 sh_col = shingle_hashes_jvm(text_col, n)
+                jvm_hashes = True
             elif engine == "jvm":
                 raise RuntimeError("no JDK available for engine='jvm'")
         if sh_col is None:
@@ -134,16 +141,58 @@ def verify_pairs_jaccard(
     sh = docs.select(F.col(id_col).alias("id"), sh_col.alias("sh")).localCheckpoint(
         eager=False
     )
-    return _verify_join(pairs, sh, threshold)
+    return _verify_join(pairs, sh, threshold, merge_scan=jvm_hashes)
 
 
-def _verify_join(pairs: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+def _verify_join(
+    pairs: DataFrame, sh: DataFrame, threshold: float, merge_scan: bool = False
+) -> DataFrame:
     """The verify tail shared by the computed and precomputed shingle paths:
-    two id equi-joins + the integer-arithmetic threshold test."""
+    two id equi-joins + the integer-arithmetic threshold test.
+
+    ``merge_scan=True`` (only when the shingle arrays are SORTED-DISTINCT —
+    the JVM kernels' output) computes intersection/union sizes with one
+    linear merge per pair (sorted_inter_union_jvm) instead of
+    array_intersect + array_union, which build a hash set per pair — the
+    dominant per-pair cost of the verify stage. Values identical on such
+    arrays; a null side maps to -1 and is dropped, exactly like the
+    null-propagating expression form."""
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter, union = jaccard_columns(F.col("sh_a"), F.col("sh_b"))
     thr_num = int(round(threshold * 1_000_000))
+    if merge_scan:
+        from ..functions.jvm_sketch import sorted_inter_union_jvm
+
+        iu = sorted_inter_union_jvm(F.col("sh_a"), F.col("sh_b"))
+        return (
+            pairs.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("__iu", iu)
+            .where(F.col("__iu") >= 0)
+            .withColumn("inter_size", F.shiftrightunsigned(F.col("__iu"), 32))
+            .withColumn(
+                "union_size", F.col("__iu").bitwiseAND(F.lit((1 << 32) - 1))
+            )
+            .where(
+                (F.col("union_size") > 0)
+                & (
+                    F.col("inter_size") * 1_000_000
+                    >= F.lit(thr_num) * F.col("union_size")
+                )
+            )
+            .withColumn(
+                "jaccard", F.round(F.col("inter_size") / F.col("union_size"), 6)
+            )
+            .select(
+                "id_a",
+                "id_b",
+                *[c for c in pairs.columns if c not in ("id_a", "id_b")],
+                "inter_size",
+                "union_size",
+                "jaccard",
+            )
+        )
+    inter, union = jaccard_columns(F.col("sh_a"), F.col("sh_b"))
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")

@@ -231,6 +231,16 @@ class DedupPipeline:
         else:
             sketch_docs, exact_edges = docs, None
 
+        # NOT fused through a sketch stage table, deliberately (negative
+        # result, this round): staging the fused (minhash, sh) frame and
+        # feeding candidates/verify from it measured ~2x SLOWER end-to-end
+        # at 100k docs (verify 13.9 s -> 57.3 s in the clean A/B trial) —
+        # the parquet re-reads of the wide shingle arrays and the join
+        # strategy they induce cost far more than the second tokenization
+        # pass they save. The entry queries fuse via an IN-MEMORY lazy
+        # checkpoint instead (operators/lsh.fused_sketch_frame), where it
+        # measured faster; the pipeline keeps stage isolation + the cheap
+        # per-stage kernels.
         cand = self._run_stage(
             "candidates",
             lambda: lsh_candidate_pairs(

@@ -517,3 +517,66 @@ def test_fused_sig_and_shingles_parity(spark, jvm):
             continue
         assert r["ss"][0] == r["sig"], f"sig mismatch id={r['id']}"
         assert r["ss"][1] == r["sh"], f"shingles mismatch id={r['id']}"
+
+
+def test_sorted_inter_union_jvm_parity(spark, jvm):
+    """The merge-scan size kernel must equal array_intersect/array_union
+    sizes on sorted-distinct arrays (incl. empty and disjoint), and map a
+    null side to -1."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from fast_er_spark.functions.jvm_sketch import sorted_inter_union_jvm
+
+    rng = _random.Random(3)
+    rows = []
+    for i in range(300):
+        universe = rng.sample(range(-(10**12), 10**12), 60)
+        a = sorted(rng.sample(universe, rng.randint(0, 40)))
+        b = sorted(rng.sample(universe, rng.randint(0, 40)))
+        rows.append((i, a, b))
+    rows.append((997, None, [1, 2]))
+    rows.append((998, [1, 2], None))
+    rows.append((999, [], []))
+    df = spark.createDataFrame(rows, "id long, a array<long>, b array<long>")
+    out = df.select(
+        "id",
+        sorted_inter_union_jvm("a", "b").alias("iu"),
+        F.size(F.array_intersect("a", "b")).alias("inter"),
+        F.size(F.array_union("a", "b")).alias("union"),
+    ).collect()
+    for r in out:
+        if r["inter"] is None or r["inter"] < 0:  # null side
+            assert r["iu"] == -1, r
+            continue
+        assert r["iu"] >> 32 == r["inter"], r
+        assert r["iu"] & 0xFFFFFFFF == r["union"], r
+
+
+def test_verify_merge_scan_matches_expression_path(spark, jvm):
+    """verify_pairs_jaccard's merge-scan branch must emit exactly the
+    expression branch's rows and sizes on the same candidates."""
+    from fixtures.synth import pages
+
+    from fast_er_spark.operators.lsh import lsh_candidate_pairs
+    from fast_er_spark.operators.verify import _verify_join, verify_pairs_jaccard
+    from fast_er_spark.functions.jvm_sketch import shingle_hashes_jvm
+    from pyspark.sql import functions as F
+
+    rows, _, _ = pages(n=400, seed=9)
+    df = spark.createDataFrame(
+        [(i, r["text"]) for i, r in enumerate(rows)], "doc_id long, text string"
+    ).localCheckpoint()
+    cand = lsh_candidate_pairs(
+        df, "doc_id", "text", num_perm=128, bands=32, rows_per_band=4,
+        n=3, seed=42, scheme="oph_jvm",
+    ).localCheckpoint()
+    got = verify_pairs_jaccard(cand, df, "doc_id", "text", n=3, threshold=0.8)
+    sh = df.select(
+        F.col("doc_id").alias("id"), shingle_hashes_jvm("text", 3).alias("sh")
+    )
+    want = _verify_join(cand, sh, 0.8, merge_scan=False)
+    g = sorted((r.id_a, r.id_b, r.inter_size, r.union_size) for r in got.collect())
+    w = sorted((r.id_a, r.id_b, r.inter_size, r.union_size) for r in want.collect())
+    assert g == w and len(g) > 0
