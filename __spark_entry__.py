@@ -65,17 +65,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ------------------------------------------------------------- dedup family
-def _fused_sketch_frame(docs, id_col, text_col, num_perm=128, n=NGRAM, seed=42):
-    """(id, minhash, sh) via operators.lsh.fused_sketch_frame, lazily
-    checkpointed: it feeds the banding branch AND both verify join sides,
-    halving the dominant map-side cost vs separate signature + shingle
-    passes. (Safe lazy checkpoint: the frame has no upstream shuffle, so
-    the AQE call-time-execution pathology does not apply.)"""
-    from fast_er_spark.operators.lsh import fused_sketch_frame
+def _fused_sketch_frame(docs, id_col, text_col, num_perm=128, n=NGRAM, seed=42,
+                        spread=True):
+    """(id, minhash, sh) via operators.lsh.fused_sketch_frame: it feeds the
+    banding branch AND both verify join sides, halving the dominant map-side
+    cost vs separate signature + shingle passes.
 
+    Spread + EAGER checkpoint (round-6 interleaved A/B, clean windows): a
+    single-file scan pinned the whole sketch kernel to ONE core (1.3 s of a
+    3.7 s cold minhash run was that single-task job), and a LAZY checkpoint
+    lets AQE's concurrently-submitted shuffle-stage jobs each recompute the
+    un-materialized sketch subtree (four overlapping 2-stage jobs in the
+    cold curation profile). ensure_min_parallelism spreads the kernel
+    (no-op at corpus scale) and eager=True materializes exactly once before
+    the fan-out: minhash 1.17-1.28 -> 0.99-1.01 s warm, cold 4.37 -> ~1.1 s,
+    same-session alternation, 0.0 s steal throughout.
+
+    ``spread=False`` for callers whose input is ALREADY spread (curation's
+    ``kept``): the guard's partition probe (``df.rdd``) on an AQE plan WITH
+    a shuffle finalizes and executes the whole upstream at call time —
+    measured +3.5 s on the curation query when left on."""
+    from fast_er_spark.operators.lsh import fused_sketch_frame
+    from fast_er_spark.partitioning import ensure_min_parallelism
+
+    if spread:
+        docs = ensure_min_parallelism(docs)
     return fused_sketch_frame(
         docs, id_col, text_col, num_perm=num_perm, n=n, seed=seed
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
 
 def q_minhash_lsh_dedup(spark, sf_dir):
@@ -456,7 +473,9 @@ def q_embedding_topk(spark, sf_dir):
     # norms hoisted to PER-SIDE columns before the join: computed inside the
     # pair projection they are interpreter-folded per PAIR (|Q|x|C| times);
     # per row the fold runs once on the same array with the same operation
-    # order, so cos is bit-identical and 2 of the 3 per-pair folds disappear
+    # order, so cos is bit-identical and 2 of the 3 per-pair folds disappear.
+    # (No scan-parallelism guard: measured a wash-to-negative on this family
+    # in the round-6 interleaved A/B — see similarity.py module note.)
     norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), norm.alias("nrm")
@@ -804,7 +823,10 @@ def q_curation_pipeline(spark, sf_dir):
         .localCheckpoint(eager=False)
     )
     if jvm_available(spark):
-        ss = _fused_sketch_frame(kept, "doc_id", "text", num_perm=128, n=NGRAM, seed=42)
+        # spread=False: kept is already 32-way from the barrier repartition,
+        # and the guard's partition probe would execute the AQE upstream
+        ss = _fused_sketch_frame(kept, "doc_id", "text", num_perm=128, n=NGRAM,
+                                 seed=42, spread=False)
         cand = lsh_candidate_pairs(
             kept, "doc_id", "text", num_perm=128, bands=32, rows_per_band=4,
             n=NGRAM, seed=42, presigned=ss.select("id", "minhash"),

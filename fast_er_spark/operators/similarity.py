@@ -100,7 +100,13 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
 ) -> DataFrame:
-    """(qid, vid, cos, rank): exact top-k by cosine for every query vector."""
+    """(qid, vid, cos, rank): exact top-k by cosine for every query vector.
+
+    NO scan-parallelism guard here, deliberately (measured negative result,
+    round 6 interleaved A/B): at bench scale the per-row norm/score work is
+    numpy-cheap and the guard's repartition + checkpoint-over-shuffle cost
+    more than the single-task stage they spread; at corpus scale the scan is
+    already split. See OPTIMIZATION_r06.md."""
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
     ).withColumn("qn", _norm(F.col("qv")))
@@ -252,6 +258,12 @@ def embedding_near_dup_pairs(
     two verify joins are plain equi-joins on id (broadcast when the pair
     side is small), and nothing materializes the cross product.
     """
+    # NO scan-parallelism guard on the corpus, deliberately (round-6
+    # interleaved A/B, guard on/off alternated in one session: warm
+    # 2.3-4.3 s WITH vs 1.7-3.7 s WITHOUT at sf0.1): the Arrow feature pass
+    # is numpy-cheap per row, and the guard's repartition plus the lazy
+    # checkpoint-over-shuffle it creates cost more than the single-task
+    # stage they spread. A corpus-scale input is already multi-split.
     base = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
