@@ -1,10 +1,13 @@
-"""Interleaved A/B of the similarity-family scan-parallelism guard.
+"""Interleaved A/B of the similarity-family scan-parallelism guard (r6).
 
-Alternates FAST_ER_MIN_PARALLELISM=1 (guard on) / =0 (off) in ONE session,
-timing the bench rigs for embedding_near_dup_lsh (clustered fixture,
-production config) and embedding_topk, with per-trial steal. Same-window
-alternation is the only admissible evidence on this VM (PERF.md
-"Measurement protocol").
+HARNESS RECORD: this A/B measured the guard WASH-TO-NEGATIVE on the
+embedding family (OPTIMIZATION_r06.md neg-B) and the guard was therefore
+NOT applied there — re-running this script now times the unguarded path
+under both labels (FAST_ER_MIN_PARALLELISM only gates the call sites that
+kept the guard: anchor/token/curation/sketch). Kept as the provenance of
+the decision: guard on/off alternated in ONE session over the bench rigs
+for embedding_near_dup_lsh (clustered fixture, production config) and
+embedding_topk, per-trial steal recorded.
 
 Usage: python scripts/ab_minpar.py [n_pairs]
 """

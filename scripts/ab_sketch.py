@@ -1,11 +1,15 @@
-"""Interleaved A/B of fused-sketch materialization variants.
+"""Interleaved A/B of fused-sketch materialization variants (round 6).
 
-Variants (alternated in ONE session, per-trial steal recorded):
+HARNESS RECORD: the winning variant (spread + eager checkpoint) was BAKED
+into ``__spark_entry__._fused_sketch_frame`` after this A/B decided it
+(OPTIMIZATION_r06.md item 3), and the FAST_ER_SKETCH_* env knobs were
+removed — re-running this script now times the baked variant under every
+label. Kept as the provenance of the measurement: variants were alternated
+in ONE session (same-window evidence, per-trial steal recorded):
   base   : no spread, lazy checkpoint (round-start shape)
   spread : ensure_min_parallelism before the kernel, lazy checkpoint
   eager  : spread + eager checkpoint
-
-Runs q_minhash_lsh_dedup and q_curation_pipeline under each variant.
+over q_minhash_lsh_dedup and q_curation_pipeline.
 
 Usage: python scripts/ab_sketch.py [n_rounds]
 """
